@@ -1,0 +1,221 @@
+"""Graph construction schedule (build + refine).
+
+TPU-native replacement for the reference ``GraphConstruction``
+(src/ggnn/construction/graph_construction.cu:104-403). The layer schedule is
+kept verbatim (graph_construction.cu:128-147):
+
+    build():  for layer_top in 0..L-1:
+                for layer_btm in layer_top..0 (descending):
+                  merge(layer_top, layer_btm)        # top==btm -> top_merge
+                  if layer_top < L-1 and top == btm: select(layer_top)
+                  sym(layer_btm)
+
+    refine(): for layer in L-2..0: merge(L-1, layer); sym(layer)
+
+The CUDA kernel-config dispatch, GraphBuffer scratch pool and cuRAND
+generator disappear: XLA/jit specializes per shape, scratch is managed by the
+compiler, and randomness is a threaded ``jax.random`` key (seeded 1234 like
+graph_construction.cu:100 for determinism).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ggnn_tpu.config import DistanceMeasure, GraphConfig
+from ggnn_tpu.graph import Graph
+from ggnn_tpu.build.merge import merge_layer
+from ggnn_tpu.build.select import wrs_select_layer
+from ggnn_tpu.build.sym import sym_pass
+from ggnn_tpu.build.top_merge import top_merge_layer
+from ggnn_tpu.ops.distance import squared_norms
+from ggnn_tpu.utils.logging import vlog
+from ggnn_tpu.utils.timing import PhaseTimer
+
+__all__ = ["build_graph", "refine_graph"]
+
+
+class _BuildContext:
+    """Mutable per-shard construction state (the reference's GraphBuffer +
+    Graph pair, graph_buffer.cuh:38-92)."""
+
+    def __init__(self, base, cfg: GraphConfig, measure, tau_build, seed, chunk):
+        self.cfg = cfg
+        self.measure = DistanceMeasure(measure)
+        self.tau_build = float(tau_build)
+        self.base = base
+        self.base_sq = squared_norms(base)
+        self.chunk = chunk
+        L = cfg.L
+        self.neighbors = [
+            jnp.full((cfg.Ns[l], cfg.KBuild), -1, jnp.int32) for l in range(L)
+        ]
+        self.selection = [jnp.zeros((0,), jnp.int32) for _ in range(L)]
+        self.translation = [jnp.zeros((0,), jnp.int32) for _ in range(L)]
+        self.nn1_dist = [None] * L  # per-layer 1-NN distance buffers
+        self.nn1_stats = jnp.zeros((2,), jnp.float32)
+        self.key = jax.random.PRNGKey(seed)
+        self.timer = PhaseTimer()
+        self.sym_stats = []
+
+    def next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # --- schedule steps ---------------------------------------------------
+
+    def merge(self, layer_top: int, layer_btm: int):
+        if layer_top == layer_btm:
+            self.top(layer_btm)
+        else:
+            self.merge_descend(layer_top, layer_btm)
+        if layer_btm == 0:
+            self.compute_nn1_stats()
+
+    def top(self, layer: int):
+        with self.timer.phase(f"top[{layer}]", self.cfg.Ns[layer]) as r:
+            nbrs, nn1 = top_merge_layer(
+                self.base,
+                self.base_sq,
+                self.translation[layer] if layer else None,
+                self.cfg,
+                layer,
+                self.measure,
+            )
+            self.neighbors[layer] = nbrs
+            self.nn1_dist[layer] = nn1
+            r["out"] = nbrs
+
+    def merge_descend(self, layer_top: int, layer_btm: int):
+        name = f"merge[{layer_top}->{layer_btm}]"
+        with self.timer.phase(name, self.cfg.Ns[layer_btm]) as r:
+            nbrs, nn1 = merge_layer(
+                self.base,
+                self.base_sq,
+                tuple(self.neighbors),
+                tuple(self.selection),
+                tuple(self.translation),
+                self.nn1_stats,
+                self.cfg,
+                layer_top,
+                layer_btm,
+                self.measure,
+                self.tau_build,
+                chunk=self.chunk,
+            )
+            self.neighbors[layer_btm] = nbrs
+            if layer_btm == 0:
+                self.nn1_dist[0] = nn1
+            r["out"] = nbrs
+
+    def select(self, layer: int):
+        with self.timer.phase(f"select[{layer}]", self.cfg.Bs[layer]) as r:
+            sel, trans = wrs_select_layer(
+                self.next_key(),
+                self.nn1_dist[layer],
+                self.translation[layer] if layer else None,
+                self.cfg,
+                layer,
+            )
+            self.selection[layer + 1] = sel
+            self.translation[layer + 1] = trans
+            r["out"] = sel
+
+    def sym(self, layer: int):
+        with self.timer.phase(f"sym[{layer}]", self.cfg.Ns[layer]) as r:
+            nbrs, stats = sym_pass(
+                self.base,
+                self.base_sq,
+                self.neighbors[layer],
+                self.translation[layer] if layer else None,
+                self.nn1_stats,
+                self.cfg,
+                layer,
+                self.measure,
+                self.tau_build,
+            )
+            self.neighbors[layer] = nbrs
+            self.sym_stats.append({"layer": layer, **stats})
+            vlog(
+                2,
+                "Layer %d [N: %d] | overflow: %d (%.4f) | added_links: %d (%.4f)",
+                layer,
+                stats["N"],
+                stats["overflow"],
+                stats["overflow"] / stats["N"],
+                stats["added_links"],
+                stats["added_links"] / stats["N"],
+            )
+            r["out"] = nbrs
+
+    def compute_nn1_stats(self):
+        # graph_construction.cu:381-402: mean and max of layer-0 1-NN dists
+        nn1 = self.nn1_dist[0]
+        self.nn1_stats = jnp.stack([jnp.mean(nn1), jnp.max(nn1)]).astype(jnp.float32)
+        vlog(2, "nn1 stats -- mean: %s | max: %s", *jax.device_get(self.nn1_stats))
+
+    def to_graph(self) -> Graph:
+        return Graph(
+            neighbors=tuple(self.neighbors),
+            selection=tuple(self.selection),
+            translation=tuple(self.translation),
+            nn1_stats=self.nn1_stats,
+        )
+
+
+def build_graph(
+    base: jax.Array,
+    cfg: GraphConfig,
+    tau_build: float,
+    refinement_iterations: int = 2,
+    measure: DistanceMeasure = DistanceMeasure.Euclidean,
+    seed: int = 1234,
+    chunk: int = 8192,
+) -> tuple[Graph, dict]:
+    """Build one graph shard. Returns (graph, build stats)."""
+    ctx = _BuildContext(base, cfg, measure, tau_build, seed, chunk)
+    L = cfg.L
+
+    # graph_construction.cu:128-140
+    for layer_top in range(L):
+        for layer_btm in range(layer_top, -1, -1):
+            ctx.merge(layer_top, layer_btm)
+            if layer_top < L - 1 and layer_top == layer_btm:
+                ctx.select(layer_top)
+            ctx.sym(layer_btm)
+
+    # refinement (gpu_instance.cu:552-555)
+    for _ in range(refinement_iterations):
+        for layer in range(L - 2, -1, -1):
+            ctx.merge(L - 1, layer)
+            ctx.sym(layer)
+
+    graph = ctx.to_graph()
+    stats = {
+        "phases": dict(ctx.timer.phases),
+        "sym": ctx.sym_stats,
+        "build_time_s": ctx.timer.total(),
+    }
+    return graph, stats
+
+
+def refine_graph(
+    base: jax.Array,
+    graph: Graph,
+    cfg: GraphConfig,
+    tau_build: float,
+    measure: DistanceMeasure = DistanceMeasure.Euclidean,
+    chunk: int = 8192,
+) -> Graph:
+    """One extra refinement sweep over an existing graph."""
+    ctx = _BuildContext(base, cfg, measure, tau_build, seed=1234, chunk=chunk)
+    ctx.neighbors = list(graph.neighbors)
+    ctx.selection = list(graph.selection)
+    ctx.translation = list(graph.translation)
+    ctx.nn1_stats = graph.nn1_stats
+    ctx.nn1_dist[0] = jnp.zeros((cfg.N,), jnp.float32)
+    for layer in range(cfg.L - 2, -1, -1):
+        ctx.merge(cfg.L - 1, layer)
+        ctx.sym(layer)
+    return ctx.to_graph()

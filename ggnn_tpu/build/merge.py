@@ -1,0 +1,192 @@
+"""Hierarchical descent merge: rebuild a layer's neighborhoods by searching
+down from a top layer.
+
+TPU-native replacement for the reference ``MergeKernel``
+(src/ggnn/construction/merge_layer.cu:63-158): for every node of
+``layer_btm``, seed a beam with the node's top-layer segment, descend layer by
+layer (remapping beam ids through ``selection``), run the best-first loop at
+each layer, and finally write the best KBuild neighbors (minus the node's own
+self-link). On layer 0 the 1-NN distance is recorded for the nn1 statistics.
+
+The reference writes into a double buffer and copies back afterwards
+(graph_construction.cu:292-295) so all nodes read the *pre-merge* graph; here
+each chunk reads the same input arrays and results are scattered into a fresh
+output, which is equivalent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ggnn_tpu.config import MERGE_MAX_ITERATIONS, DistanceMeasure, GraphConfig
+from ggnn_tpu.ops.beam import beam_init, beam_insert, beam_transform
+from ggnn_tpu.ops.traverse import best_first_search, gather_dists, seed_beam
+
+__all__ = ["merge_layer"]
+
+
+def _top_seg_offset(n, layer_top, layer_btm, cfg: GraphConfig):
+    """Start of the top-layer segment covering node ``n`` of ``layer_btm``
+    (merge_layer.cu:40-61)."""
+    if layer_btm == 0:
+        offset_points = cfg.S0_off * (cfg.S0 + 1)
+        seg_btm = jnp.where(
+            n < offset_points,
+            n // (cfg.S0 + 1),
+            cfg.S0_off + (n - offset_points) // cfg.S0,
+        )
+    else:
+        seg_btm = n // cfg.S
+    powG = cfg.G ** (layer_top - layer_btm)
+    return (seg_btm // powG) * cfg.S
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "layer_top", "layer_btm", "measure"),
+)
+def _merge_chunk(
+    n,  # [B] node ids of layer_btm
+    row_valid,  # [B] bool (padding mask)
+    base,
+    base_sq,
+    neighbors,  # tuple of L neighbor tables
+    selection,  # tuple of L selection arrays
+    translation,  # tuple of L translation arrays
+    nn1_stats,  # [2]
+    tau_build,  # scalar f32
+    *,
+    cfg: GraphConfig,
+    layer_top: int,
+    layer_btm: int,
+    measure: DistanceMeasure,
+):
+    B = n.shape[0]
+    KBuild = cfg.KBuild
+    sizes = cfg.merge_beam_sizes()
+
+    # slack (merge_layer.cu:74-76): mean 1-NN distance scaled by tau_build
+    if measure == DistanceMeasure.Euclidean:
+        xi = (nn1_stats[0] * nn1_stats[0]) * tau_build * tau_build
+    else:
+        xi = nn1_stats[0] * tau_build
+
+    m = translation[layer_btm][n] if layer_btm else n
+    q_vecs = base[m].astype(jnp.float32)
+    q_sq = base_sq[m]
+
+    state = beam_init(B, sizes, xi)
+
+    # seed with the node's top-layer segment (merge_layer.cu:86-97)
+    s_offset = _top_seg_offset(n, layer_top, layer_btm, cfg)
+    seeds = s_offset[:, None] + jnp.arange(cfg.S, dtype=jnp.int32)[None, :]
+    state = seed_beam(
+        state,
+        q_vecs,
+        q_sq,
+        seeds,
+        base,
+        base_sq,
+        translation[layer_top],
+        measure,
+    )
+
+    # hierarchic descent (merge_layer.cu:100-121)
+    for layer in range(layer_top - 1, layer_btm - 1, -1):
+        state = beam_transform(state, selection[layer + 1])
+        trans_l = translation[layer] if layer else None
+        if layer == layer_btm:
+            # fetch the node itself (merge_layer.cu:103-104)
+            d_own, _ = gather_dists(
+                q_vecs, q_sq, n[:, None], base, base_sq, trans_l, measure
+            )
+            state = beam_insert(state, n[:, None], d_own)
+        state = best_first_search(
+            state,
+            q_vecs,
+            q_sq,
+            neighbors[layer],
+            base,
+            base_sq,
+            trans_l,
+            measure,
+            MERGE_MAX_ITERATIONS,
+        )
+
+    # write-out with self-link removal (merge_layer.cu:123-145)
+    best_i, best_d = state.best_i, state.best_d  # [B, KBuild+1]
+    own_eq = best_i[:, :KBuild] == n[:, None]
+    own_found = jnp.any(own_eq, axis=-1)
+    own_pos = jnp.where(own_found, jnp.argmax(own_eq, axis=-1), -1).astype(jnp.int32)
+
+    k = jnp.arange(KBuild, dtype=jnp.int32)[None, :]
+    shift = (k >= own_pos[:, None]).astype(jnp.int32)
+    out = jnp.take_along_axis(best_i, k + shift, axis=-1)
+    out = jnp.where(out == -1, n[:, None], out)
+
+    # 1-NN distance for layer 0 (merge_layer.cu:147-157): first nonzero best
+    # distance after the node's own entry
+    idx = jnp.arange(best_d.shape[-1], dtype=jnp.int32)[None, :]
+    cand = (idx > own_pos[:, None]) & (best_d != 0.0)
+    found = jnp.any(cand, axis=-1)
+    first = jnp.argmax(cand, axis=-1)
+    nn1 = jnp.where(
+        found, jnp.take_along_axis(best_d, first[:, None], axis=-1)[:, 0], 0.0
+    )
+    if measure == DistanceMeasure.Euclidean:
+        nn1 = jnp.sqrt(nn1)
+    nn1 = jnp.where(jnp.isfinite(nn1), nn1, 0.0)
+
+    return out, nn1
+
+
+def merge_layer(
+    base: jax.Array,
+    base_sq: jax.Array,
+    neighbors: tuple,
+    selection: tuple,
+    translation: tuple,
+    nn1_stats: jax.Array,
+    cfg: GraphConfig,
+    layer_top: int,
+    layer_btm: int,
+    measure: DistanceMeasure,
+    tau_build: float,
+    chunk: int = 8192,
+):
+    """Rebuild ``layer_btm`` neighborhoods by descending from ``layer_top``.
+
+    Returns (new_neighbors [Ns[layer_btm], KBuild], nn1 [Ns[layer_btm]]).
+    """
+    Ns = cfg.Ns[layer_btm]
+    chunk = min(chunk, Ns)
+    out_rows = []
+    out_nn1 = []
+    tau = jnp.float32(tau_build)
+    for start in range(0, Ns, chunk):
+        ids = jnp.arange(start, start + chunk, dtype=jnp.int32)
+        valid = ids < Ns
+        ids = jnp.minimum(ids, Ns - 1)
+        rows, nn1 = _merge_chunk(
+            ids,
+            valid,
+            base,
+            base_sq,
+            neighbors,
+            selection,
+            translation,
+            nn1_stats,
+            tau,
+            cfg=cfg,
+            layer_top=layer_top,
+            layer_btm=layer_btm,
+            measure=DistanceMeasure(measure),
+        )
+        out_rows.append(rows)
+        out_nn1.append(nn1)
+    new_nbrs = jnp.concatenate(out_rows, axis=0)[:Ns]
+    new_nn1 = jnp.concatenate(out_nn1, axis=0)[:Ns]
+    return new_nbrs, new_nn1

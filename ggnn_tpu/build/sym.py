@@ -1,0 +1,290 @@
+"""Inverse ("foreign") link discovery and insertion.
+
+TPU-native replacement for the reference's sym pass:
+
+* ``SymQueryKernel`` (src/ggnn/construction/sym_query_layer.cu:39-145): for
+  each node n and each of its KL local neighbors, walk the graph from that
+  neighbor back toward n -- guided by a "half-way point"
+  ``h = q + (0.5-EPS)(neighbor - q)`` (simple_knn_sym_cache.cuh:159-201,
+  EPS=0.1) -- checking whether any visited node already links to n. If not,
+  request an inverse link at the nearest on-path candidate with capacity.
+
+* The CUDA ``atomicAdd`` slot reservation (sym_query_layer.cu:124-141) is
+  replaced by a deterministic sort-based capacity assignment: requests are
+  ranked per target via a stable sort and accepted while the target's fill
+  (attempt counter, matching the reference's overflow accounting) is < KF.
+
+* ``SymBufferMergeKernel`` (src/ggnn/construction/sym_buffer_merge_layer.cu:
+  36-99): merge requested inverse links into the graph's KF foreign slots,
+  keeping non-duplicate existing foreign links while room remains and padding
+  empties with the node's own index.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ggnn_tpu.config import (
+    SYM_MAX_PER_PATH_ITERATIONS,
+    DistanceMeasure,
+    GraphConfig,
+)
+from ggnn_tpu.ops.beam import beam_init, beam_insert, beam_pop
+
+__all__ = ["sym_pass"]
+
+_HALF_EPS = 0.1  # simple_knn_sym_cache.cuh:39
+
+
+def _pair_dists(q, h, q_sq, h_sq, cand_vecs, cand_sq, measure):
+    """Distances of gathered candidates to both the query and the half point.
+
+    q/h: [R, D]; cand_vecs: [R, K, D]. Returns (dist_q, dist_h) each [R, K].
+    """
+    dot_q = jnp.einsum(
+        "rd,rkd->rk",
+        q,
+        cand_vecs,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    dot_h = jnp.einsum(
+        "rd,rkd->rk",
+        h,
+        cand_vecs,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    if measure == DistanceMeasure.Euclidean:
+        dq = jnp.maximum(q_sq[:, None] + cand_sq - 2.0 * dot_q, 0.0)
+        dh = jnp.maximum(h_sq[:, None] + cand_sq - 2.0 * dot_h, 0.0)
+        return dq, dh
+    nq = q_sq[:, None] * cand_sq
+    nh = h_sq[:, None] * cand_sq
+    sq_ok = nq > 0.0
+    sh_ok = nh > 0.0
+    dq = jnp.where(
+        sq_ok, jnp.abs(1.0 - dot_q * jax.lax.rsqrt(jnp.where(sq_ok, nq, 1.0))), 1.0
+    )
+    dh = jnp.where(
+        sh_ok, jnp.abs(1.0 - dot_h * jax.lax.rsqrt(jnp.where(sh_ok, nh, 1.0))), 1.0
+    )
+    return dq, dh
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "measure", "use_translation"))
+def _sym_walk_chunk(
+    n,  # [R] source node ids (layer-local)
+    start,  # [R] start neighbor ids (layer-local)
+    nbrs,  # [N_layer, KBuild] current layer graph
+    sym_buffer,  # [N_layer, KF] snapshot of requested inverse links
+    translation_l,  # [N_layer] or dummy
+    base,
+    base_sq,
+    nn1_stats,
+    tau_build,
+    *,
+    cfg: GraphConfig,
+    measure: DistanceMeasure,
+    use_translation: bool,
+):
+    """Walk from ``start`` toward ``n``; return (connected, preference list)."""
+    R = n.shape[0]
+    KL, KF = cfg.KL, cfg.KF
+    sizes = cfg.sym_beam_sizes()
+
+    if measure == DistanceMeasure.Euclidean:
+        xi = (nn1_stats[0] * nn1_stats[0]) * tau_build * tau_build
+    else:
+        xi = nn1_stats[0] * tau_build
+
+    def tr(ids):
+        return translation_l[ids] if use_translation else ids
+
+    q = base[tr(n)].astype(jnp.float32)
+    s_vec = base[tr(start)].astype(jnp.float32)
+    # half-way point (simple_knn_sym_cache.cuh:159-177)
+    h = q + (0.5 - _HALF_EPS) * (s_vec - q)
+    q_sq = jnp.sum(q * q, axis=-1)
+    h_sq = jnp.sum(h * h, axis=-1)
+
+    # init_start_point: seed with the start neighbor, fix criteria_half
+    dq0, dh0 = _pair_dists(
+        q, h, q_sq, h_sq, s_vec[:, None, :], base_sq[tr(start)][:, None], measure
+    )
+    criteria_half = dh0[:, 0] + xi
+
+    state = beam_init(R, sizes, xi)
+    state = beam_insert(
+        state, start[:, None], dq0, criteria=jnp.full((R,), jnp.inf, jnp.float32)
+    )
+
+    def cond(carry):
+        st, connected, it, alive = carry
+        return (it < SYM_MAX_PER_PATH_ITERATIONS) & alive
+
+    def body(carry):
+        st, connected, it, _ = carry
+        # criteria_sym = best distance + xi (simple_knn_sym_cache.cuh:285-288)
+        crit = st.best_d[:, 0] + st.xi
+        anchor, active, st = beam_pop(st, row_mask=~connected, criteria=crit)
+        safe_anchor = jnp.where(active, anchor, 0)
+        # candidates = KL local links + KF requested inverse links
+        # (sym_query_layer.cu:98-112)
+        cand = jnp.concatenate(
+            [nbrs[safe_anchor, :KL], sym_buffer[safe_anchor]], axis=-1
+        )  # [R, KL+KF]
+        found = jnp.any(cand == n[:, None], axis=-1) & active
+        connected = connected | found
+
+        safe_cand = jnp.clip(cand, 0, None)
+        cand_base = tr(safe_cand)
+        vecs = base[cand_base].astype(jnp.float32)
+        dq, dh = _pair_dists(q, h, q_sq, h_sq, vecs, base_sq[cand_base], measure)
+        # admit only when close to both query and half point
+        # (simple_knn_sym_cache.cuh:423-436)
+        ok = (cand != -1) & (dh < criteria_half[:, None]) & active[:, None] & ~found[:, None]
+        st = beam_insert(
+            st, cand, dq, valid=ok, row_mask=active & ~found, criteria=crit
+        )
+        return st, connected, it + 1, jnp.any(active & ~found)
+
+    connected0 = start == n  # degenerate self-link rows resolve immediately
+    state, connected, _, _ = jax.lax.while_loop(
+        cond, body, (state, connected0, jnp.int32(0), jnp.bool_(True))
+    )
+    return connected, state.best_i  # preference list: [R, KF] best path nodes
+
+
+@functools.partial(jax.jit, static_argnames=("KF",), donate_argnums=(3, 4))
+def _insert_requests(
+    pref,  # [R, KF] preference lists (-1 = empty)
+    n_req,  # [R] requesting node ids
+    need,  # [R] rows that need an inverse link
+    sym_buffer,  # [N_layer, KF]
+    sym_atomic,  # [N_layer] attempt counters
+    *,
+    KF: int,
+):
+    """Deterministic capacity-limited scatter replacing the reference's
+    atomicAdd loop (sym_query_layer.cu:124-141)."""
+    R = pref.shape[0]
+    N = sym_atomic.shape[0]
+    assigned = ~need
+    rows = jnp.arange(R, dtype=jnp.int32)
+
+    for j in range(KF):
+        tgt = jnp.where(~assigned & (pref[:, j] != -1), pref[:, j], N)
+        # rank requests per target, stable in row order
+        order = jnp.argsort(tgt, stable=True)
+        sorted_tgt = tgt[order]
+        prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), sorted_tgt[:-1]])
+        is_new = sorted_tgt != prev
+        run_start = jax.lax.cummax(jnp.where(is_new, rows, 0), axis=0)
+        rank_sorted = rows - run_start
+        rank = jnp.zeros((R,), jnp.int32).at[order].set(rank_sorted)
+
+        valid = tgt != N
+        pos = sym_atomic.at[tgt].get(mode="fill", fill_value=0) + rank
+        accept = valid & (pos < KF)
+
+        sym_buffer = sym_buffer.at[
+            jnp.where(accept, tgt, N), jnp.where(accept, pos, 0)
+        ].set(n_req, mode="drop")
+        # attempts count even on overflow (reference atomicAdd semantics)
+        sym_atomic = sym_atomic.at[tgt].add(
+            valid.astype(jnp.int32), mode="drop"
+        )
+        assigned = assigned | accept
+    return sym_buffer, sym_atomic
+
+
+@functools.partial(jax.jit, static_argnames=("KL", "KF"))
+def _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, *, KL: int, KF: int):
+    """Merge requested inverse links into the graph's foreign slots
+    (sym_buffer_merge_layer.cu:36-99)."""
+    Nl = nbrs.shape[0]
+    node_ids = jnp.arange(Nl, dtype=jnp.int32)
+    out = sym_buffer
+    num = jnp.minimum(sym_atomic, KF + 1)  # clamp, semantics only need >= KF
+    existing = nbrs[:, KL:]
+    for i in range(KF):
+        g = existing[:, i]
+        dup = jnp.any(out == g[:, None], axis=-1)
+        can = (num < KF) & ~dup
+        slot = jnp.clip(num, 0, KF - 1)
+        cur = out[node_ids, slot]
+        out = out.at[node_ids, slot].set(jnp.where(can, g, cur))
+        num = num + can.astype(jnp.int32)
+    out = jnp.where(out >= 0, out, node_ids[:, None])
+    return nbrs.at[:, KL:].set(out)
+
+
+def sym_pass(
+    base: jax.Array,
+    base_sq: jax.Array,
+    nbrs: jax.Array,
+    translation_l: jax.Array | None,
+    nn1_stats: jax.Array,
+    cfg: GraphConfig,
+    layer: int,
+    measure: DistanceMeasure,
+    tau_build: float,
+    chunk_nodes: int = 2048,
+):
+    """Run the full sym pass on one layer.
+
+    Returns (new_nbrs, stats dict with overflow/added-links counters matching
+    graph_construction.cu:354-378).
+    """
+    Nl = cfg.Ns[layer]
+    KL, KF = cfg.KL, cfg.KF
+    use_translation = layer > 0
+    trans = translation_l if use_translation else jnp.zeros((0,), jnp.int32)
+
+    sym_buffer = jnp.full((Nl, KF), -1, jnp.int32)
+    sym_atomic = jnp.zeros((Nl,), jnp.int32)
+    tau = jnp.float32(tau_build)
+
+    chunk_nodes = min(chunk_nodes, Nl)
+    for start_node in range(0, Nl, chunk_nodes):
+        ids = jnp.arange(start_node, start_node + chunk_nodes, dtype=jnp.int32)
+        pad = ids >= Nl
+        ids = jnp.minimum(ids, Nl - 1)
+        # rows = nodes x their KL local neighbors
+        n_rows = jnp.repeat(ids, KL)
+        k_rows = jnp.tile(jnp.arange(KL, dtype=jnp.int32), ids.shape[0])
+        start_rows = nbrs[n_rows, k_rows]
+        row_pad = jnp.repeat(pad, KL) | (start_rows == -1)
+        start_rows = jnp.where(start_rows == -1, n_rows, start_rows)
+
+        connected, pref = _sym_walk_chunk(
+            n_rows,
+            start_rows,
+            nbrs,
+            sym_buffer,
+            trans,
+            base,
+            base_sq,
+            nn1_stats,
+            tau,
+            cfg=cfg,
+            measure=DistanceMeasure(measure),
+            use_translation=use_translation,
+        )
+        need = ~connected & ~row_pad
+        sym_buffer, sym_atomic = _insert_requests(
+            pref, n_rows, need, sym_buffer, sym_atomic, KF=KF
+        )
+
+    new_nbrs = _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, KL=KL, KF=KF)
+    atomic_host = jax.device_get(sym_atomic)
+    stats = {
+        "overflow": int((atomic_host > KF).sum()),
+        "added_links": int(jnp.minimum(atomic_host, KF).sum()),
+        "N": Nl,
+    }
+    return new_nbrs, stats

@@ -1,0 +1,410 @@
+"""Public GGNN API: multi-shard / multi-device orchestration.
+
+TPU-native equivalent of the reference's ``GGNN`` facade + ``GPUInstance``
+runtime (src/ggnn/base/ggnn.cu:53-564, src/ggnn/base/gpu_instance.cu:136-790):
+
+* The base is split into ``N_shard``-sized shards with independent graphs
+  (reference "multi-GPU through sharding", README.md:4-5).
+* Shards are assigned round-robin to the configured TPU devices. Per-shard
+  work is dispatched asynchronously, so shards on different chips overlap --
+  the TPU analog of the reference's one-std::thread-per-GPU scheme
+  (ggnn.cu:222-230).
+* Cross-shard result merging is a sorted top-k merge (the reference's CPU
+  k-way heap merge, result_merger.cpp:79-142, and per-GPU
+  cub::DeviceSegmentedRadixSort, gpu_instance.cu:745-790).
+* Shard graphs can be kept on device, cached on host, or persisted to
+  ``part_<id>.npz`` files in the working directory -- the analog of the
+  GPU/pinned-CPU/disk swapping hierarchy (gpu_instance.cu:371-467).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggnn_tpu.config import DistanceMeasure, GraphConfig, MAX_KQUERY
+from ggnn_tpu.build.construction import build_graph
+from ggnn_tpu.dataset import Dataset
+from ggnn_tpu.graph import Graph, load_graph_shard, save_graph_shard
+from ggnn_tpu.ops.bruteforce import bruteforce_knn
+from ggnn_tpu.ops.distance import squared_norms
+from ggnn_tpu.query.ann import ann_query
+from ggnn_tpu.utils.logging import vlog
+
+__all__ = ["GGNN", "Results"]
+
+
+class Results(tuple):
+    """(ids, dists) pair with attribute access, like the reference Results
+    (dataset.cuh:162-166)."""
+
+    def __new__(cls, ids, dists):
+        return super().__new__(cls, (ids, dists))
+
+    @property
+    def ids(self):
+        return self[0]
+
+    @property
+    def dists(self):
+        return self[1]
+
+
+def _as_array(data) -> np.ndarray:
+    if isinstance(data, Dataset):
+        return data.data
+    arr = np.asarray(data)
+    if arr.dtype == np.float64:
+        arr = arr.astype(np.float32)
+    return arr
+
+
+class _Shard:
+    """One base shard + its graph (the reference's GPUBuffer slot,
+    gpu_instance.cuh:136-178)."""
+
+    def __init__(self, shard_id: int, device, base_host: np.ndarray):
+        self.shard_id = shard_id
+        self.device = device
+        self.base_host = base_host
+        self.base_dev = None
+        self.base_sq = None
+        self.graph: Graph | None = None
+        self.graph_host: Graph | None = None
+
+    def ensure_base(self):
+        if self.base_dev is None:
+            self.base_dev = jax.device_put(self.base_host, self.device)
+            self.base_sq = squared_norms(self.base_dev)
+
+    def ensure_graph(self):
+        if self.graph is None:
+            if self.graph_host is None:
+                raise RuntimeError(f"shard {self.shard_id}: no graph available")
+            self.graph = jax.device_put(self.graph_host, self.device)
+
+    def evict(self, keep_host: bool = True):
+        """Swap the shard out of HBM (gpu_instance.cu:371-420 analog)."""
+        if self.graph is not None and keep_host and self.graph_host is None:
+            self.graph_host = jax.device_get(self.graph)
+        self.graph = None
+        self.base_dev = None
+        self.base_sq = None
+
+
+class GGNN:
+    """Graph-based nearest-neighbor search on TPU (reference: ggnn.cuh:41-182).
+
+    Usage matches the reference Python bindings::
+
+        g = GGNN()
+        g.set_base(base)                       # np/jax [N, D] float32 or uint8
+        g.build(k_build=24, tau_build=0.5)
+        ids, dists = g.query(queries, 10, tau_query=0.5)
+        gt_ids, gt_dists = g.bf_query(queries, k_gt=100)
+    """
+
+    def __init__(self, devices=None):
+        self._base: np.ndarray | None = None
+        self._devices = list(devices) if devices else [jax.devices()[0]]
+        self._n_shard = 0
+        self._working_dir: Path | None = None
+        self._return_results_on_device = False
+        self._cpu_memory_limit = None
+        self._reserved_device_memory = 0
+        self._max_device_shards = None  # None = keep everything resident
+        self._shards: list[_Shard] = []
+        self._cfg: GraphConfig | None = None
+        self._kbuild: int | None = None
+        self._measure = DistanceMeasure.Euclidean
+        self._build_seed = 1234
+        self.last_build_stats: dict | None = None
+
+    # --- configuration (ggnn.cuh:66-123) ----------------------------------
+
+    def set_base(self, base) -> None:
+        base = _as_array(base)
+        if base.ndim != 2:
+            raise ValueError("base must be [N, D]")
+        if base.dtype not in (np.float32, np.uint8):
+            raise ValueError(f"unsupported base dtype {base.dtype}")
+        self._base = np.ascontiguousarray(base)
+        self._shards = []
+        self._cfg = None
+
+    set_base_reference = set_base
+
+    def set_working_directory(self, path) -> None:
+        self._working_dir = Path(path)
+
+    def set_shard_size(self, n_shard: int) -> None:
+        self._n_shard = int(n_shard)
+        self._shards = []
+
+    def set_devices(self, devices) -> None:
+        self._devices = list(devices)
+        self._shards = []
+
+    def set_gpus(self, ids) -> None:
+        """Reference-compatible alias: select devices by index."""
+        all_devices = jax.devices()
+        self._devices = [all_devices[i] for i in ids]
+        self._shards = []
+
+    def set_cpu_memory_limit(self, limit: int) -> None:
+        self._cpu_memory_limit = int(limit)
+
+    def set_reserved_gpu_memory(self, reserved: int) -> None:
+        self._reserved_device_memory = int(reserved)
+
+    def set_max_device_shards(self, n: int | None) -> None:
+        """Cap the number of shards resident in HBM at once (out-of-core)."""
+        self._max_device_shards = n
+
+    def set_return_results_on_gpu(self, flag: bool = True) -> None:
+        self._return_results_on_device = bool(flag)
+
+    # --- shard planning (ggnn.cu:154-203) ----------------------------------
+
+    @property
+    def num_shards(self) -> int:
+        return len(self._shards)
+
+    def _prepare(self, KBuild: int) -> None:
+        if self._base is None:
+            raise RuntimeError("no base data set -- call set_base() first")
+        N, D = self._base.shape
+        num_devices = len(self._devices)
+        n_shard = self._n_shard
+        if n_shard == 0:
+            if N % num_devices:
+                raise ValueError(
+                    f"N={N} must be divisible by the number of devices "
+                    f"{num_devices} (or set an explicit shard size)"
+                )
+            n_shard = N // num_devices
+        if N % n_shard:
+            raise ValueError(f"N={N} not divisible by shard size {n_shard}")
+        num_shards = N // n_shard
+        if num_shards % num_devices:
+            raise ValueError(
+                f"number of shards {num_shards} not divisible by number of "
+                f"devices {num_devices}"
+            )
+        self._cfg = GraphConfig.create(N=n_shard, D=D, KBuild=KBuild)
+        self._kbuild = KBuild
+        vlog(1, "%s", self._cfg.describe())
+
+        # round-robin shard -> device (shard % num_buffers,
+        # gpu_instance.cuh:136-178; contiguous blocks per device like
+        # ggnn.cu partitioning)
+        shards_per_device = num_shards // num_devices
+        self._shards = []
+        for i in range(num_shards):
+            device = self._devices[i // shards_per_device]
+            lo = i * n_shard
+            self._shards.append(_Shard(i, device, self._base[lo : lo + n_shard]))
+
+    def _resident_budget(self) -> int:
+        if self._max_device_shards is not None:
+            return self._max_device_shards
+        return len(self._shards)
+
+    # --- build / store / load (ggnn.cu:205-276) -----------------------------
+
+    def build(
+        self,
+        k_build: int,
+        tau_build: float,
+        refinement_iterations: int = 2,
+        measure: DistanceMeasure = DistanceMeasure.Euclidean,
+    ) -> None:
+        self._measure = DistanceMeasure(measure)
+        self._prepare(k_build)
+        budget = self._resident_budget()
+        t0 = time.perf_counter()
+        stats = []
+        for shard in self._shards:
+            shard.ensure_base()
+            graph, s = build_graph(
+                shard.base_dev,
+                self._cfg,
+                tau_build,
+                refinement_iterations,
+                self._measure,
+                seed=self._build_seed + shard.shard_id,
+            )
+            shard.graph = graph
+            stats.append(s)
+            if len(self._shards) > budget:
+                shard.evict(keep_host=True)
+            vlog(
+                0,
+                "shard %d built in %.3f s (%.2f us/point)",
+                shard.shard_id,
+                s["build_time_s"],
+                s["build_time_s"] * 1e6 / self._cfg.N,
+            )
+        wall = time.perf_counter() - t0
+        self.last_build_stats = {
+            "shards": stats,
+            "wall_time_s": wall,
+            "sum_time_s": sum(s["build_time_s"] for s in stats),
+        }
+        vlog(0, "build completed in %.3f s (wall)", wall)
+
+    def store(self) -> None:
+        if self._working_dir is None:
+            raise RuntimeError("set_working_directory() first")
+        for shard in self._shards:
+            graph = shard.graph if shard.graph is not None else shard.graph_host
+            if graph is None:
+                raise RuntimeError(f"shard {shard.shard_id}: nothing to store")
+            save_graph_shard(
+                self._working_dir / f"part_{shard.shard_id}.npz", graph, self._cfg
+            )
+
+    def load(self, k_build: int) -> None:
+        if self._working_dir is None:
+            raise RuntimeError("set_working_directory() first")
+        self._prepare(k_build)
+        for shard in self._shards:
+            path = self._working_dir / f"part_{shard.shard_id}.npz"
+            graph, cfg = load_graph_shard(path)
+            if cfg.N != self._cfg.N or cfg.KBuild != k_build or cfg.D != self._cfg.D:
+                raise ValueError(f"{path}: incompatible graph geometry")
+            shard.graph_host = graph
+        # measure is not stored in the reference either; keep current setting
+
+    def has_graph(self) -> bool:
+        return bool(self._shards) and all(
+            s.graph is not None or s.graph_host is not None for s in self._shards
+        )
+
+    def get_graph(self, global_shard_id: int = 0) -> Graph:
+        shard = self._shards[global_shard_id]
+        return shard.graph if shard.graph is not None else shard.graph_host
+
+    # --- query (ggnn.cu:278-390) -------------------------------------------
+
+    def query(
+        self,
+        query,
+        k_query: int,
+        tau_query: float,
+        max_iterations: int = 400,
+        measure: DistanceMeasure | None = None,
+    ) -> Results:
+        if not self._shards:
+            raise RuntimeError("no graph -- call build() or load() first")
+        if k_query > MAX_KQUERY:
+            raise ValueError(f"k_query={k_query} exceeds {MAX_KQUERY}")
+        measure = DistanceMeasure(measure) if measure is not None else self._measure
+        query = _as_array(query)
+        n_shard = self._cfg.N
+
+        budget = self._resident_budget()
+        resident = sum(1 for s in self._shards if s.graph is not None)
+
+        partials = []
+        query_dev_cache = {}
+        for shard in self._shards:
+            if shard.graph is None and resident >= budget:
+                # out-of-core: rotate shards through HBM
+                for other in self._shards:
+                    if other.graph is not None and other is not shard:
+                        other.evict(keep_host=True)
+                        resident -= 1
+                        break
+            shard.ensure_base()
+            shard.ensure_graph()
+            resident += 1 if shard.graph is not None else 0
+            if shard.device not in query_dev_cache:
+                query_dev_cache[shard.device] = jax.device_put(query, shard.device)
+            ids, dists = ann_query(
+                query_dev_cache[shard.device],
+                shard.base_dev,
+                shard.graph,
+                self._cfg,
+                k_query,
+                tau_query,
+                max_iterations,
+                measure,
+                base_sq=shard.base_sq,
+            )
+            ids = jnp.where(ids >= 0, ids + shard.shard_id * n_shard, ids)
+            partials.append((ids, dists))
+
+        return self._merge_results(partials, k_query)
+
+    def bf_query(
+        self,
+        query,
+        k_gt: int = 100,
+        measure: DistanceMeasure | None = None,
+    ) -> Results:
+        """Brute-force ground truth (ggnn.cu:332-390; multi-shard supported
+        here, unlike the reference's single-GPU limitation)."""
+        if self._base is None:
+            raise RuntimeError("no base data set")
+        measure = DistanceMeasure(measure) if measure is not None else self._measure
+        query = _as_array(query)
+        if not self._shards:
+            # un-prepared: single shard over the whole base
+            base_dev = jax.device_put(self._base, self._devices[0])
+            q_dev = jax.device_put(query, self._devices[0])
+            ids, dists = bruteforce_knn(base_dev, q_dev, k_gt, measure)
+            return self._finalize(ids, dists)
+
+        n_shard = self._cfg.N
+        partials = []
+        for shard in self._shards:
+            shard.ensure_base()
+            q_dev = jax.device_put(query, shard.device)
+            k_local = min(k_gt, n_shard)
+            ids, dists = bruteforce_knn(shard.base_dev, q_dev, k_local, measure)
+            ids = jnp.where(ids >= 0, ids + shard.shard_id * n_shard, ids)
+            partials.append((ids, dists))
+        return self._merge_results(partials, k_gt)
+
+    # --- result merging (result_merger.cpp:52-148) --------------------------
+
+    def _merge_results(self, partials, k: int) -> Results:
+        if len(partials) == 1:
+            ids, dists = partials[0]
+            return self._finalize(ids, dists)
+        if len({s.device for s in self._shards}) == 1:
+            # single device: concatenate + sorted top-k on device
+            ids = jnp.concatenate([p[0] for p in partials], axis=1)
+            dists = jnp.concatenate([p[1] for p in partials], axis=1)
+            dists, order = jax.lax.top_k(-dists, k)
+            ids = jnp.take_along_axis(ids, order, axis=1)
+            return self._finalize(ids, -dists)
+        # multi-device: merge on host (ResultMerger analog). Prefer the native
+        # multi-threaded k-way merger when the C++ runtime is built.
+        try:
+            from ggnn_tpu.native import merge as native_merge  # noqa: PLC0415
+
+            if native_merge.available():
+                ids = np.stack([np.asarray(p[0]) for p in partials])
+                dists = np.stack([np.asarray(p[1]) for p in partials])
+                # pad partial rows to k entries if a shard returned fewer
+                return Results(*native_merge.merge_topk_partials(ids, dists, k))
+        except Exception:
+            pass
+        ids = np.concatenate([np.asarray(p[0]) for p in partials], axis=1)
+        dists = np.concatenate([np.asarray(p[1]) for p in partials], axis=1)
+        order = np.argsort(dists, axis=1, kind="stable")[:, :k]
+        return Results(
+            np.take_along_axis(ids, order, axis=1),
+            np.take_along_axis(dists, order, axis=1),
+        )
+
+    def _finalize(self, ids, dists) -> Results:
+        if self._return_results_on_device:
+            return Results(ids, dists)
+        return Results(np.asarray(ids), np.asarray(dists))

@@ -1,0 +1,113 @@
+"""Batched best-first graph traversal (shared by construction merge & query).
+
+TPU-native replacement for the reference's per-block traversal loops
+(src/ggnn/query/query_layer.cu:57-79, src/ggnn/construction/merge_layer.cu:
+100-121): a `lax.while_loop` over a whole batch of rows, where each iteration
+pops one anchor per row, gathers its neighbor row, computes an MXU/VPU
+distance tile against the per-row query, and sorted-merges the admitted
+candidates back into the beam. Rows converge independently via masks; the
+loop exits once every row is done (or at ``max_iterations``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ggnn_tpu.config import DistanceMeasure
+from ggnn_tpu.ops.beam import BeamState, beam_insert, beam_pop
+from ggnn_tpu.ops.distance import dist_gathered
+
+__all__ = ["gather_dists", "seed_beam", "best_first_search"]
+
+
+def gather_dists(
+    q_vecs: jax.Array,
+    q_sq: jax.Array,
+    ids: jax.Array,
+    base: jax.Array,
+    base_sq: jax.Array,
+    translation: jax.Array | None,
+    measure: DistanceMeasure,
+):
+    """Distances from per-row queries to per-row candidate ids.
+
+    ``ids`` are layer-local ids ([B, K]); ``translation`` (if given) maps them
+    to base ids first (merge_layer.cu:118 passes d_translation into fetch).
+    Invalid ids (-1) produce arbitrary distances -- callers mask them.
+
+    Returns (dists [B, K], base_ids [B, K]).
+    """
+    safe = jnp.clip(ids, 0, None)
+    if translation is not None and translation.shape[0]:
+        base_ids = translation[safe]
+    else:
+        base_ids = safe
+    vecs = base[base_ids]  # [B, K, D]
+    cand_sq = base_sq[base_ids]
+    d = dist_gathered(q_vecs, vecs, measure, q_sq=q_sq, cand_sq=cand_sq)
+    return d, base_ids
+
+
+def seed_beam(
+    state: BeamState,
+    q_vecs: jax.Array,
+    q_sq: jax.Array,
+    seed_ids: jax.Array,
+    base: jax.Array,
+    base_sq: jax.Array,
+    translation: jax.Array | None,
+    measure: DistanceMeasure,
+    valid: jax.Array | None = None,
+) -> BeamState:
+    """Insert starting points (the batched ``fetch_unfiltered``)."""
+    d, _ = gather_dists(q_vecs, q_sq, seed_ids, base, base_sq, translation, measure)
+    return beam_insert(state, seed_ids, d, valid=valid)
+
+
+def best_first_search(
+    state: BeamState,
+    q_vecs: jax.Array,
+    q_sq: jax.Array,
+    nbr_table: jax.Array,
+    base: jax.Array,
+    base_sq: jax.Array,
+    translation: jax.Array | None,
+    measure: DistanceMeasure,
+    max_iterations: int,
+    dynamic_xi: Callable[[BeamState], jax.Array] | None = None,
+) -> BeamState:
+    """Run the best-first expansion loop until convergence.
+
+    Args:
+      state: seeded beam state.
+      q_vecs/q_sq: [B, D]/[B] per-row query vectors and squared norms.
+      nbr_table: [N_layer, K] int32 neighbor lists of the layer searched.
+      translation: optional [N_layer] layer->base id map.
+      max_iterations: loop bound (MAX_ITERATIONS=200 for merge,
+        user max_iterations for query).
+      dynamic_xi: optional per-iteration slack update (query_layer.cu:58-63).
+    """
+    K = nbr_table.shape[-1]
+
+    def cond(carry):
+        st, it, alive = carry
+        return (it < max_iterations) & alive
+
+    def body(carry):
+        st, it, _ = carry
+        if dynamic_xi is not None:
+            st = st._replace(xi=dynamic_xi(st))
+        anchor, active, st = beam_pop(st)
+        safe_anchor = jnp.where(active, anchor, 0)
+        nbrs = nbr_table[safe_anchor]  # [B, K]
+        d, _ = gather_dists(q_vecs, q_sq, nbrs, base, base_sq, translation, measure)
+        st = beam_insert(st, nbrs, d, valid=active[:, None], row_mask=active)
+        return st, it + 1, jnp.any(active)
+
+    state, _, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), jnp.bool_(True))
+    )
+    return state

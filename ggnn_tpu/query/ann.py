@@ -1,0 +1,138 @@
+"""Approximate nearest-neighbor query via batched best-first search.
+
+TPU-native replacement for the reference ``QueryKernel``
+(src/ggnn/query/query_layer.cu:39-97): instead of one CUDA block per query
+with a shared-memory cache, a whole tile of queries advances in lock-step --
+seeding is a dense MXU matmul against the S starting points, each iteration
+gathers one anchor's neighbor row per query, and the slack is tightened
+dynamically per row (query_layer.cu:58-63).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ggnn_tpu.config import DistanceMeasure, GraphConfig
+from ggnn_tpu.graph import Graph
+from ggnn_tpu.ops.beam import beam_init, beam_insert
+from ggnn_tpu.ops.distance import dist_block, squared_norms
+from ggnn_tpu.ops.traverse import best_first_search
+
+__all__ = ["ann_query"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sizes", "measure", "max_iterations"),
+)
+def _query_chunk(
+    q_vecs,  # [B, D]
+    nbr0,  # [N, KBuild] layer-0 neighbor table
+    starting_points,  # [S] base ids (translation[L-1])
+    base,
+    base_sq,
+    nn1_stats,
+    tau_query,
+    *,
+    sizes: tuple[int, int, int],
+    measure: DistanceMeasure,
+    max_iterations: int,
+):
+    B = q_vecs.shape[0]
+    q_vecs = q_vecs.astype(jnp.float32)
+    q_sq = jnp.sum(q_vecs * q_vecs, axis=-1)
+
+    # slack from the *max* 1-NN distance (query_layer.cu:48-50)
+    if measure == DistanceMeasure.Euclidean:
+        xi0 = (nn1_stats[1] * nn1_stats[1]) * tau_query * tau_query
+    else:
+        xi0 = nn1_stats[1] * tau_query
+
+    state = beam_init(B, sizes, xi0)
+
+    # seed with the S starting points: a dense [B, S] MXU distance tile
+    start_vecs = base[starting_points].astype(jnp.float32)
+    seed_d = dist_block(
+        q_vecs, start_vecs, measure, q_sq=q_sq, c_sq=base_sq[starting_points]
+    )
+    seed_ids = jnp.broadcast_to(starting_points[None, :], seed_d.shape).astype(
+        jnp.int32
+    )
+    state = beam_insert(state, seed_ids, seed_d)
+
+    # dynamic slack tightening (query_layer.cu:58-63)
+    if measure == DistanceMeasure.Euclidean:
+        dyn = lambda st: jnp.minimum(xi0, st.best_d[:, 0] * tau_query * tau_query)
+    else:
+        dyn = lambda st: jnp.minimum(xi0, st.best_d[:, 0] * tau_query)
+
+    state = best_first_search(
+        state,
+        q_vecs,
+        q_sq,
+        nbr0,
+        base,
+        base_sq,
+        None,
+        measure,
+        max_iterations,
+        dynamic_xi=dyn,
+    )
+    return state.best_i, state.best_d
+
+
+def ann_query(
+    query: jax.Array,
+    base: jax.Array,
+    graph: Graph,
+    cfg: GraphConfig,
+    KQuery: int,
+    tau_query: float,
+    max_iterations: int = 400,
+    measure: DistanceMeasure = DistanceMeasure.Euclidean,
+    *,
+    base_sq: jax.Array | None = None,
+    chunk: int = 8192,
+):
+    """Query one graph shard.
+
+    Returns (ids [Q, KQuery] int32 shard-local, dists [Q, KQuery] f32),
+    each row sorted ascending (-1/inf in unfilled slots).
+    """
+    measure = DistanceMeasure(measure)
+    sizes = GraphConfig.query_beam_sizes(KQuery, max_iterations)
+    if base_sq is None:
+        base_sq = squared_norms(base)
+    starting_points = graph.translation[cfg.L - 1]
+    tau = jnp.float32(tau_query)
+
+    Q = query.shape[0]
+    chunk = min(chunk, Q)
+    out_i, out_d = [], []
+    for start in range(0, Q, chunk):
+        q_chunk = query[start : start + chunk]
+        pad = chunk - q_chunk.shape[0]
+        if pad:
+            q_chunk = jnp.pad(q_chunk, ((0, pad), (0, 0)))
+        ids, dists = _query_chunk(
+            q_chunk,
+            graph.neighbors[0],
+            starting_points,
+            base,
+            base_sq,
+            graph.nn1_stats,
+            tau,
+            sizes=sizes,
+            measure=measure,
+            max_iterations=max_iterations,
+        )
+        if pad:
+            ids, dists = ids[:-pad], dists[:-pad]
+        out_i.append(ids)
+        out_d.append(dists)
+    if len(out_i) == 1:
+        return out_i[0], out_d[0]
+    return jnp.concatenate(out_i, axis=0), jnp.concatenate(out_d, axis=0)

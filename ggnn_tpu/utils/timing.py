@@ -1,0 +1,54 @@
+"""Wall-clock phase timing with us/point throughput logs.
+
+TPU analog of the reference's cudaEvent ``time_launcher`` instrumentation
+(graph_construction.cu:54-77) and the per-shard build/query timing logs
+(gpu_instance.cu:536-545, 707-712): phases are timed with wall clocks around
+blocking device work and reported in the same "N queries -> X us/query"
+format.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+import jax
+
+from ggnn_tpu.utils.logging import vlog
+
+__all__ = ["PhaseTimer"]
+
+
+class PhaseTimer:
+    """Accumulates named phase durations; logs us/point at VLOG level."""
+
+    def __init__(self):
+        self.phases: dict[str, float] = {}
+
+    @contextmanager
+    def phase(self, name: str, n: int = 0, log_level: int = 2, block=None):
+        """Time a phase. ``block``: optional array(s) to block_until_ready."""
+        start = time.perf_counter()
+        result = {}
+        try:
+            yield result
+        finally:
+            out = result.get("out", block)
+            if out is not None:
+                jax.block_until_ready(out)
+            elapsed = time.perf_counter() - start
+            self.phases[name] = self.phases.get(name, 0.0) + elapsed
+            if n:
+                vlog(
+                    log_level,
+                    "%s: %.3f ms for %d queries -> %.3f us/query",
+                    name,
+                    elapsed * 1e3,
+                    n,
+                    elapsed * 1e6 / n,
+                )
+            else:
+                vlog(log_level, "%s: %.3f ms", name, elapsed * 1e3)
+
+    def total(self) -> float:
+        return sum(self.phases.values())

@@ -1,0 +1,56 @@
+"""Native C++ host runtime tests (IO + k-way merge)."""
+
+import numpy as np
+import pytest
+
+from ggnn_tpu.native import io as native_io
+from ggnn_tpu.native import merge as native_merge
+
+pytestmark = pytest.mark.skipif(
+    not native_io.available(), reason="native toolchain unavailable"
+)
+
+
+def test_native_vecs_roundtrip(tmp_path, rng):
+    data = rng.normal(size=(23, 11)).astype(np.float32)
+    path = str(tmp_path / "x.fvecs")
+    native_io.store_vecs(path, data)
+    out = native_io.load_vecs(path, np.float32)
+    np.testing.assert_array_equal(out, data)
+    # subset
+    np.testing.assert_array_equal(
+        native_io.load_vecs(path, np.float32, from_row=5, num=3), data[5:8]
+    )
+
+
+def test_native_matches_python_io(tmp_path, rng):
+    from ggnn_tpu.dataset import load_vecs, store_vecs
+
+    data = rng.integers(0, 255, (31, 7)).astype(np.uint8)
+    path = tmp_path / "x.bvecs"
+    store_vecs(path, data)  # python writer
+    out = native_io.load_vecs(str(path), np.uint8)
+    np.testing.assert_array_equal(out, data)
+    native_io.store_vecs(str(tmp_path / "y.bvecs"), data)
+    np.testing.assert_array_equal(load_vecs(tmp_path / "y.bvecs"), data)
+
+
+def test_native_merge_matches_numpy(rng):
+    P, Q, S, K = 4, 50, 8, 6
+    dists = np.sort(rng.normal(size=(P, Q, S)).astype(np.float32), axis=-1)
+    ids = rng.integers(0, 10_000, (P, Q, S)).astype(np.int32)
+    out_ids, out_dists = native_merge.merge_topk_partials(ids, dists, K)
+    # numpy oracle
+    all_d = dists.transpose(1, 0, 2).reshape(Q, -1)
+    all_i = ids.transpose(1, 0, 2).reshape(Q, -1)
+    order = np.argsort(all_d, axis=1, kind="stable")[:, :K]
+    np.testing.assert_allclose(out_dists, np.take_along_axis(all_d, order, axis=1))
+    np.testing.assert_array_equal(out_ids, np.take_along_axis(all_i, order, axis=1))
+
+
+def test_native_merge_id_offset(rng):
+    P, Q, S, K = 2, 4, 3, 4
+    dists = np.sort(rng.normal(size=(P, Q, S)).astype(np.float32), axis=-1)
+    ids = np.zeros((P, Q, S), np.int32)
+    out_ids, _ = native_merge.merge_topk_partials(ids, dists, K, id_offset_scale=100)
+    assert set(np.unique(out_ids)) <= {0, 100}
