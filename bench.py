@@ -29,22 +29,37 @@ import numpy as np
 
 import jax
 
+# persistent compilation cache: repeat runs (tau sweeps, driver re-runs) skip
+# the ~20-40s XLA compiles entirely
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("GGNN_JAX_CACHE", os.path.expanduser("~/.cache/ggnn_tpu_jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from ggnn_tpu import GGNN, Evaluator, set_log_level
 
 BASELINE_QPS = 500_000.0
 
 
-def make_dataset(n, nq, d=128, n_clusters=1024, seed=0):
-    """Clustered uint8-range vectors: SIFT-like structure, not uniform noise."""
+def make_dataset(n, nq, d=128, d_latent=24, seed=0):
+    """SIFT-like synthetic vectors: uint8-range, low intrinsic dimension.
+
+    Real descriptor datasets live near a low-dimensional manifold and form ONE
+    connected kNN component. High-dimensional Gaussian-mixture clusters do
+    not (distance concentration makes every true kNN edge intra-cluster once
+    clusters hold more than KBuild points, so no graph-ANN method --
+    including the reference -- can reach clusters holding no start point).
+    Sampling a ``d_latent``-dim Gaussian latent through a random linear map
+    gives a connected continuum with realistic ANN difficulty.
+    """
     rng = np.random.default_rng(seed)
-    centers = rng.uniform(0, 200, size=(n_clusters, d)).astype(np.float32)
-    assign = rng.integers(0, n_clusters, size=n)
-    base = centers[assign] + rng.normal(0, 20, size=(n, d)).astype(np.float32)
-    base = np.clip(base, 0, 255).astype(np.float32)
-    q_assign = rng.integers(0, n_clusters, size=nq)
-    query = centers[q_assign] + rng.normal(0, 20, size=(nq, d)).astype(np.float32)
-    query = np.clip(query, 0, 255).astype(np.float32)
-    return base, query
+    w = rng.normal(size=(d_latent, d)).astype(np.float32) / np.sqrt(d_latent)
+    def sample(m):
+        z = rng.normal(size=(m, d_latent)).astype(np.float32)
+        x = z @ w * 40.0 + 128.0 + rng.normal(0, 4, size=(m, d)).astype(np.float32)
+        return np.clip(x, 0, 255).astype(np.float32)
+    return sample(n), sample(nq)
 
 
 def main():
@@ -74,14 +89,18 @@ def main():
     print(f"# brute force: {time.perf_counter() - gt_t0:.2f} s", file=sys.stderr)
     evaluator = Evaluator(base, query, gt_ids, k_query=k_query)
 
-    # warmup + tau sweep for the C@1 >= 0.9 operating point
+    # warmup + tau sweep for the C@1 >= 0.9 operating point. The query knobs
+    # are the measured throughput configuration (pops_per_iter=8 shortens the
+    # sequential loop; fetch_cap_fraction=0.5 halves the HBM gather volume at
+    # ~3 recall points, recovered by the tau sweep).
+    qkw = {"pops_per_iter": 8, "fetch_cap_fraction": 0.5}
     best = None
     for tau_query in (0.34, 0.41, 0.51, 0.64, 0.8, 1.0, 1.3):
-        ids, dists = g.query(query, k_query, tau_query, max_iterations)  # warm
+        ids, dists = g.query(query, k_query, tau_query, max_iterations, **qkw)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
-            ids, dists = g.query(query, k_query, tau_query, max_iterations)
+            ids, dists = g.query(query, k_query, tau_query, max_iterations, **qkw)
         elapsed = (time.perf_counter() - t0) / reps
         ev = evaluator.evaluate_results(ids)
         qps = nq / elapsed

@@ -46,7 +46,7 @@ def _top_seg_offset(n, layer_top, layer_btm, cfg: GraphConfig):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "layer_top", "layer_btm", "measure"),
+    static_argnames=("cfg", "layer_top", "layer_btm", "measure", "pops_per_iter"),
 )
 def _merge_chunk(
     n,  # [B] node ids of layer_btm
@@ -63,6 +63,7 @@ def _merge_chunk(
     layer_top: int,
     layer_btm: int,
     measure: DistanceMeasure,
+    pops_per_iter: int = 1,
 ):
     B = n.shape[0]
     KBuild = cfg.KBuild
@@ -114,6 +115,7 @@ def _merge_chunk(
             trans_l,
             measure,
             MERGE_MAX_ITERATIONS,
+            pops_per_iter=pops_per_iter,
         )
 
     # write-out with self-link removal (merge_layer.cu:123-145)
@@ -156,6 +158,7 @@ def merge_layer(
     measure: DistanceMeasure,
     tau_build: float,
     chunk: int = 8192,
+    pops_per_iter: int = 4,
 ):
     """Rebuild ``layer_btm`` neighborhoods by descending from ``layer_top``.
 
@@ -184,6 +187,7 @@ def merge_layer(
             layer_top=layer_top,
             layer_btm=layer_btm,
             measure=DistanceMeasure(measure),
+            pops_per_iter=pops_per_iter,
         )
         out_rows.append(rows)
         out_nn1.append(nn1)

@@ -18,6 +18,12 @@ TPU-native replacement for the reference's sym pass:
   36-99): merge requested inverse links into the graph's KF foreign slots,
   keeping non-duplicate existing foreign links while room remains and padding
   empties with the node's own index.
+
+The whole pass over a layer runs as ONE jitted program: node chunks advance
+through a ``lax.scan`` whose carry is the (sym_buffer, sym_atomic) request
+state, so successive chunks see earlier chunks' requested links (the
+reference gets the same effect through global-memory atomics) without any
+host round-trips.
 """
 
 from __future__ import annotations
@@ -32,7 +38,14 @@ from ggnn_tpu.config import (
     DistanceMeasure,
     GraphConfig,
 )
-from ggnn_tpu.ops.beam import beam_init, beam_insert, beam_pop
+from ggnn_tpu.ops.beam import (
+    beam_compact_candidates,
+    beam_dedup_mask,
+    beam_init,
+    beam_insert,
+    beam_insert_deduped,
+    beam_pop_multi,
+)
 
 __all__ = ["sym_pass"]
 
@@ -75,8 +88,7 @@ def _pair_dists(q, h, q_sq, h_sq, cand_vecs, cand_sq, measure):
     return dq, dh
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "measure", "use_translation"))
-def _sym_walk_chunk(
+def _sym_walk(
     n,  # [R] source node ids (layer-local)
     start,  # [R] start neighbor ids (layer-local)
     nbrs,  # [N_layer, KBuild] current layer graph
@@ -90,11 +102,17 @@ def _sym_walk_chunk(
     cfg: GraphConfig,
     measure: DistanceMeasure,
     use_translation: bool,
+    pops_per_iter: int,
 ):
     """Walk from ``start`` toward ``n``; return (connected, preference list)."""
     R = n.shape[0]
     KL, KF = cfg.KL, cfg.KF
+    KC = KL + KF
     sizes = cfg.sym_beam_sizes()
+    P = max(1, pops_per_iter)
+    steps = -(-SYM_MAX_PER_PATH_ITERATIONS // P)
+    # dedup-before-fetch compaction cap (see ops/traverse.py)
+    cap = P * KC if P == 1 else min(P * KC, max(KC, (P * KC // 2 + 7) // 8 * 8))
 
     if measure == DistanceMeasure.Euclidean:
         xi = (nn1_stats[0] * nn1_stats[0]) * tau_build * tau_build
@@ -122,44 +140,63 @@ def _sym_walk_chunk(
         state, start[:, None], dq0, criteria=jnp.full((R,), jnp.inf, jnp.float32)
     )
 
-    def cond(carry):
-        st, connected, it, alive = carry
-        return (it < SYM_MAX_PER_PATH_ITERATIONS) & alive
-
-    def body(carry):
-        st, connected, it, _ = carry
+    def step(st, connected, cap_now):
         # criteria_sym = best distance + xi (simple_knn_sym_cache.cuh:285-288)
         crit = st.best_d[:, 0] + st.xi
-        anchor, active, st = beam_pop(st, row_mask=~connected, criteria=crit)
-        safe_anchor = jnp.where(active, anchor, 0)
-        # candidates = KL local links + KF requested inverse links
+        anchors, active, st = beam_pop_multi(
+            st, P, row_mask=~connected, criteria=crit
+        )  # [R, P]
+        safe_anchor = jnp.where(anchors != -1, anchors, 0)
+        # candidates = KL local links + KF requested inverse links per anchor
         # (sym_query_layer.cu:98-112)
         cand = jnp.concatenate(
             [nbrs[safe_anchor, :KL], sym_buffer[safe_anchor]], axis=-1
-        )  # [R, KL+KF]
-        found = jnp.any(cand == n[:, None], axis=-1) & active
+        ).reshape(R, P * KC)
+        a_ok = jnp.repeat(anchors != -1, KC, axis=-1, total_repeat_length=P * KC)
+        found = jnp.any((cand == n[:, None]) & a_ok, axis=-1) & active
         connected = connected | found
 
-        safe_cand = jnp.clip(cand, 0, None)
+        # dedup on ids BEFORE the vector gather, pack survivors left
+        usable = a_ok & active[:, None] & ~found[:, None]
+        ok = beam_dedup_mask(st, cand, valid=usable)
+        packed = beam_compact_candidates(cand, ok, cap_now)
+
+        safe_cand = jnp.clip(packed, 0, None)
         cand_base = tr(safe_cand)
         vecs = base[cand_base].astype(jnp.float32)
         dq, dh = _pair_dists(q, h, q_sq, h_sq, vecs, base_sq[cand_base], measure)
         # admit only when close to both query and half point
         # (simple_knn_sym_cache.cuh:423-436)
-        ok = (cand != -1) & (dh < criteria_half[:, None]) & active[:, None] & ~found[:, None]
-        st = beam_insert(
-            st, cand, dq, valid=ok, row_mask=active & ~found, criteria=crit
+        admitted = jnp.where(dh < criteria_half[:, None], packed, -1)
+        st = beam_insert_deduped(
+            st, admitted, dq, row_mask=active & ~found, criteria=crit
         )
-        return st, connected, it + 1, jnp.any(active & ~found)
+        return st, connected, active & ~found
 
-    connected0 = start == n  # degenerate self-link rows resolve immediately
+    connected = start == n  # degenerate self-link rows resolve immediately
+    remaining = steps
+    if cap < P * KC:
+        # first expansion uncapped: the beam holds only the start point, so
+        # nearly every candidate survives dedup and capping would drop
+        # genuinely-new frontier
+        state, connected, _ = step(state, connected, P * KC)
+        remaining = max(0, steps - 1)
+
+    def cond(carry):
+        st, conn, it, alive = carry
+        return (it < remaining) & alive
+
+    def body(carry):
+        st, conn, it, _ = carry
+        st, conn, going = step(st, conn, cap)
+        return st, conn, it + 1, jnp.any(going)
+
     state, connected, _, _ = jax.lax.while_loop(
-        cond, body, (state, connected0, jnp.int32(0), jnp.bool_(True))
+        cond, body, (state, connected, jnp.int32(0), jnp.bool_(True))
     )
     return connected, state.best_i  # preference list: [R, KF] best path nodes
 
 
-@functools.partial(jax.jit, static_argnames=("KF",), donate_argnums=(3, 4))
 def _insert_requests(
     pref,  # [R, KF] preference lists (-1 = empty)
     n_req,  # [R] requesting node ids
@@ -195,14 +232,11 @@ def _insert_requests(
             jnp.where(accept, tgt, N), jnp.where(accept, pos, 0)
         ].set(n_req, mode="drop")
         # attempts count even on overflow (reference atomicAdd semantics)
-        sym_atomic = sym_atomic.at[tgt].add(
-            valid.astype(jnp.int32), mode="drop"
-        )
+        sym_atomic = sym_atomic.at[tgt].add(valid.astype(jnp.int32), mode="drop")
         assigned = assigned | accept
     return sym_buffer, sym_atomic
 
 
-@functools.partial(jax.jit, static_argnames=("KL", "KF"))
 def _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, *, KL: int, KF: int):
     """Merge requested inverse links into the graph's foreign slots
     (sym_buffer_merge_layer.cu:36-99)."""
@@ -223,6 +257,75 @@ def _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, *, KL: int, KF: int):
     return nbrs.at[:, KL:].set(out)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "layer", "measure", "use_translation", "num_chunks",
+                     "pops_per_iter"),
+)
+def _sym_pass_device(
+    nbrs,
+    translation_l,
+    base,
+    base_sq,
+    nn1_stats,
+    tau_build,
+    *,
+    cfg: GraphConfig,
+    layer: int,
+    measure: DistanceMeasure,
+    use_translation: bool,
+    num_chunks: int,
+    pops_per_iter: int,
+):
+    """The full sym pass over one layer as a single device program."""
+    Nl = cfg.Ns[layer]
+    KL, KF = cfg.KL, cfg.KF
+    chunk = -(-Nl // num_chunks)
+    padded = num_chunks * chunk
+
+    node_chunks = jnp.arange(padded, dtype=jnp.int32).reshape(num_chunks, chunk)
+
+    def step(carry, ids):
+        sym_buffer, sym_atomic = carry
+        pad = ids >= Nl
+        ids = jnp.minimum(ids, Nl - 1)
+        # rows = nodes x their KL local neighbors
+        n_rows = jnp.repeat(ids, KL)
+        k_rows = jnp.tile(jnp.arange(KL, dtype=jnp.int32), ids.shape[0])
+        start_rows = nbrs[n_rows, k_rows]
+        row_pad = jnp.repeat(pad, KL) | (start_rows == -1)
+        start_rows = jnp.where(start_rows == -1, n_rows, start_rows)
+
+        connected, pref = _sym_walk(
+            n_rows,
+            start_rows,
+            nbrs,
+            sym_buffer,
+            translation_l,
+            base,
+            base_sq,
+            nn1_stats,
+            tau_build,
+            cfg=cfg,
+            measure=measure,
+            use_translation=use_translation,
+            pops_per_iter=pops_per_iter,
+        )
+        need = ~connected & ~row_pad
+        sym_buffer, sym_atomic = _insert_requests(
+            pref, n_rows, need, sym_buffer, sym_atomic, KF=KF
+        )
+        return (sym_buffer, sym_atomic), None
+
+    init = (
+        jnp.full((Nl, KF), -1, jnp.int32),
+        jnp.zeros((Nl,), jnp.int32),
+    )
+    (sym_buffer, sym_atomic), _ = jax.lax.scan(step, init, node_chunks)
+    new_nbrs = _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, KL=KL, KF=KF)
+    return new_nbrs, sym_atomic
+
+
 def sym_pass(
     base: jax.Array,
     base_sq: jax.Array,
@@ -233,7 +336,8 @@ def sym_pass(
     layer: int,
     measure: DistanceMeasure,
     tau_build: float,
-    chunk_nodes: int = 2048,
+    chunk_nodes: int = 4096,
+    pops_per_iter: int = 4,
 ):
     """Run the full sym pass on one layer.
 
@@ -244,43 +348,22 @@ def sym_pass(
     KL, KF = cfg.KL, cfg.KF
     use_translation = layer > 0
     trans = translation_l if use_translation else jnp.zeros((0,), jnp.int32)
+    num_chunks = max(1, -(-Nl // chunk_nodes))
 
-    sym_buffer = jnp.full((Nl, KF), -1, jnp.int32)
-    sym_atomic = jnp.zeros((Nl,), jnp.int32)
-    tau = jnp.float32(tau_build)
-
-    chunk_nodes = min(chunk_nodes, Nl)
-    for start_node in range(0, Nl, chunk_nodes):
-        ids = jnp.arange(start_node, start_node + chunk_nodes, dtype=jnp.int32)
-        pad = ids >= Nl
-        ids = jnp.minimum(ids, Nl - 1)
-        # rows = nodes x their KL local neighbors
-        n_rows = jnp.repeat(ids, KL)
-        k_rows = jnp.tile(jnp.arange(KL, dtype=jnp.int32), ids.shape[0])
-        start_rows = nbrs[n_rows, k_rows]
-        row_pad = jnp.repeat(pad, KL) | (start_rows == -1)
-        start_rows = jnp.where(start_rows == -1, n_rows, start_rows)
-
-        connected, pref = _sym_walk_chunk(
-            n_rows,
-            start_rows,
-            nbrs,
-            sym_buffer,
-            trans,
-            base,
-            base_sq,
-            nn1_stats,
-            tau,
-            cfg=cfg,
-            measure=DistanceMeasure(measure),
-            use_translation=use_translation,
-        )
-        need = ~connected & ~row_pad
-        sym_buffer, sym_atomic = _insert_requests(
-            pref, n_rows, need, sym_buffer, sym_atomic, KF=KF
-        )
-
-    new_nbrs = _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, KL=KL, KF=KF)
+    new_nbrs, sym_atomic = _sym_pass_device(
+        nbrs,
+        trans,
+        base,
+        base_sq,
+        nn1_stats,
+        jnp.float32(tau_build),
+        cfg=cfg,
+        layer=layer,
+        measure=DistanceMeasure(measure),
+        use_translation=use_translation,
+        num_chunks=num_chunks,
+        pops_per_iter=pops_per_iter,
+    )
     atomic_host = jax.device_get(sym_atomic)
     stats = {
         "overflow": int((atomic_host > KF).sum()),

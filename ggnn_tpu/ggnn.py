@@ -168,6 +168,9 @@ class GGNN:
     def set_return_results_on_gpu(self, flag: bool = True) -> None:
         self._return_results_on_device = bool(flag)
 
+    # TPU-native name for the same switch
+    set_return_results_on_device = set_return_results_on_gpu
+
     # --- shard planning (ggnn.cu:154-203) ----------------------------------
 
     @property
@@ -298,6 +301,9 @@ class GGNN:
         tau_query: float,
         max_iterations: int = 400,
         measure: DistanceMeasure | None = None,
+        *,
+        pops_per_iter: int = 8,
+        fetch_cap_fraction: float = 0.75,
     ) -> Results:
         if not self._shards:
             raise RuntimeError("no graph -- call build() or load() first")
@@ -335,6 +341,8 @@ class GGNN:
                 max_iterations,
                 measure,
                 base_sq=shard.base_sq,
+                pops_per_iter=pops_per_iter,
+                fetch_cap_fraction=fetch_cap_fraction,
             )
             ids = jnp.where(ids >= 0, ids + shard.shard_id * n_shard, ids)
             partials.append((ids, dists))

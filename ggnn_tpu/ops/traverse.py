@@ -17,7 +17,14 @@ import jax
 import jax.numpy as jnp
 
 from ggnn_tpu.config import DistanceMeasure
-from ggnn_tpu.ops.beam import BeamState, beam_insert, beam_pop
+from ggnn_tpu.ops.beam import (
+    BeamState,
+    beam_compact_candidates,
+    beam_dedup_mask,
+    beam_insert,
+    beam_insert_deduped,
+    beam_pop_multi,
+)
 from ggnn_tpu.ops.distance import dist_gathered
 
 __all__ = ["gather_dists", "seed_beam", "best_first_search"]
@@ -78,6 +85,8 @@ def best_first_search(
     measure: DistanceMeasure,
     max_iterations: int,
     dynamic_xi: Callable[[BeamState], jax.Array] | None = None,
+    pops_per_iter: int = 1,
+    fetch_cap_fraction: float = 0.5,
 ) -> BeamState:
     """Run the best-first expansion loop until convergence.
 
@@ -86,26 +95,57 @@ def best_first_search(
       q_vecs/q_sq: [B, D]/[B] per-row query vectors and squared norms.
       nbr_table: [N_layer, K] int32 neighbor lists of the layer searched.
       translation: optional [N_layer] layer->base id map.
-      max_iterations: loop bound (MAX_ITERATIONS=200 for merge,
-        user max_iterations for query).
+      max_iterations: total anchor-pop budget (MAX_ITERATIONS=200 for merge,
+        user max_iterations for query). Matches the reference's per-query
+        iteration count regardless of ``pops_per_iter``.
       dynamic_xi: optional per-iteration slack update (query_layer.cu:58-63).
+      pops_per_iter: anchors expanded per loop step. 1 reproduces the
+        reference visit order exactly; >1 shortens the sequential loop by
+        that factor and widens the per-step distance tile (TPU-friendly).
+      fetch_cap_fraction: after id-dedup, candidates are packed left and the
+        vector gather is capped at this fraction of the raw tile (graph walks
+        re-encounter most ids, so typically <50% survive dedup; capping halves
+        the HBM gather volume -- the reference's fetch also filters known ids
+        before computing any distance, simple_knn_cache.cuh:246-261).
+        Survivors beyond the cap are dropped (rare; costs a revisit at most).
     """
     K = nbr_table.shape[-1]
+    P = max(1, pops_per_iter)
+    steps = -(-max_iterations // P)
+    if P == 1 or fetch_cap_fraction >= 1.0:
+        cap = P * K
+    else:
+        cap = min(P * K, max(K, int(P * K * fetch_cap_fraction + 7) // 8 * 8))
+
+    def step(st, cap_now):
+        if dynamic_xi is not None:
+            st = st._replace(xi=dynamic_xi(st))
+        anchors, active, st = beam_pop_multi(st, P)  # [B, P]
+        safe_anchor = jnp.where(anchors != -1, anchors, 0)
+        nbrs = nbr_table[safe_anchor].reshape(anchors.shape[0], P * K)
+        valid = jnp.repeat(anchors != -1, K, axis=-1, total_repeat_length=P * K)
+        # dedup on ids BEFORE fetching vectors, then compact the survivors
+        ok = beam_dedup_mask(st, nbrs, valid)
+        cand = beam_compact_candidates(nbrs, ok, cap_now)
+        d, _ = gather_dists(q_vecs, q_sq, cand, base, base_sq, translation, measure)
+        st = beam_insert_deduped(st, cand, d, row_mask=active)
+        return st, active
 
     def cond(carry):
         st, it, alive = carry
-        return (it < max_iterations) & alive
+        return (it < steps) & alive
 
     def body(carry):
         st, it, _ = carry
-        if dynamic_xi is not None:
-            st = st._replace(xi=dynamic_xi(st))
-        anchor, active, st = beam_pop(st)
-        safe_anchor = jnp.where(active, anchor, 0)
-        nbrs = nbr_table[safe_anchor]  # [B, K]
-        d, _ = gather_dists(q_vecs, q_sq, nbrs, base, base_sq, translation, measure)
-        st = beam_insert(st, nbrs, d, valid=active[:, None], row_mask=active)
+        st, active = step(st, cap)
         return st, it + 1, jnp.any(active)
+
+    # first expansions run uncapped: with an empty beam nearly every candidate
+    # survives dedup, so capping there would drop genuinely-new frontier
+    if cap < P * K:
+        state, _ = step(state, P * K)
+        state, _ = step(state, P * K)
+        steps = max(0, steps - 2)
 
     state, _, _ = jax.lax.while_loop(
         cond, body, (state, jnp.int32(0), jnp.bool_(True))

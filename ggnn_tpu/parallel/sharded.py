@@ -68,10 +68,14 @@ def sharded_query(
     tau_query: float,
     max_iterations: int = 400,
     measure: DistanceMeasure = DistanceMeasure.Euclidean,
+    pops_per_iter: int = 8,
+    fetch_cap_fraction: float = 0.75,
 ):
     """Query one logical index sharded across the mesh.
 
     Returns replicated (ids [Q, KQuery] global, dists [Q, KQuery]).
+    ``pops_per_iter`` must match the single-shard path (ann_query) for
+    bit-identical results across execution strategies.
     """
     measure = DistanceMeasure(measure)
     sizes = GraphConfig.query_beam_sizes(KQuery, max_iterations)
@@ -99,6 +103,8 @@ def sharded_query(
             sizes=sizes,
             measure=measure,
             max_iterations=max_iterations,
+            pops_per_iter=pops_per_iter,
+            fetch_cap_fraction=fetch_cap_fraction,
         )
         return _merge_over_ici(ids, dists, KQuery, n_shard)
 

@@ -92,3 +92,55 @@ def test_transform_remaps_and_reseeds():
     np.testing.assert_array_equal(np.asarray(st.q_i[0, :2]), [10, 11])
     assert np.all(np.asarray(st.vis) == -1)
     assert np.all(np.asarray(st.vis_head) == 0)
+
+
+def test_pop_multi_prefix_and_shift():
+    from ggnn_tpu.ops.beam import beam_pop_multi
+
+    st = beam_init(2, (3, 6, 6), jnp.float32(10.0))
+    st = beam_insert(st, jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32),
+                     jnp.asarray([[1.0, 2.0, 3.0, 4.0]] * 2, jnp.float32))
+    anchors, active, st = beam_pop_multi(st, 3)
+    np.testing.assert_array_equal(np.asarray(anchors), [[1, 2, 3], [5, 6, 7]])
+    assert np.all(np.asarray(active))
+    # queue shifted by 3: head is now the 4th entry
+    np.testing.assert_array_equal(np.asarray(st.q_i[:, 0]), [4, 8])
+    # popped ids are in the visited ring
+    assert set(np.asarray(st.vis[0])) >= {1, 2, 3}
+    np.testing.assert_array_equal(np.asarray(st.vis_head), [3, 3])
+
+
+def test_pop_multi_partial_prefix():
+    from ggnn_tpu.ops.beam import beam_pop_multi
+
+    # xi=0 and a full best list -> only entries strictly below best_worst pop
+    st = beam_init(1, (2, 6, 6), jnp.float32(0.0))
+    st = beam_insert(st, jnp.asarray([[1, 2, 3]], jnp.int32),
+                     jnp.asarray([[1.0, 1.5, 9.0]], jnp.float32))
+    # best = [1, 2], best_worst = 1.5; queue = [1, 2, 3]
+    # criteria 1.5: only entry 1 (1.0) passes
+    anchors, active, st = beam_pop_multi(st, 3)
+    np.testing.assert_array_equal(np.asarray(anchors), [[1, -1, -1]])
+    assert np.asarray(st.q_i[0, 0]) == 2
+    np.testing.assert_array_equal(np.asarray(st.vis_head), [1])
+
+
+def test_pop_multi_matches_sequential_pops():
+    from ggnn_tpu.ops.beam import beam_pop_multi
+
+    rng = np.random.default_rng(0)
+    ids = rng.choice(100, size=(4, 8), replace=False).astype(np.int32)
+    d = np.sort(rng.random((4, 8)), axis=1).astype(np.float32)
+
+    st_a = beam_init(4, (4, 8, 8), jnp.float32(100.0))
+    st_a = beam_insert(st_a, jnp.asarray(ids), jnp.asarray(d))
+    st_b = st_a
+
+    anchors_multi, _, st_a = beam_pop_multi(st_a, 4)
+    seq = []
+    for _ in range(4):
+        a, _, st_b = beam_pop(st_b)
+        seq.append(np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(anchors_multi), np.stack(seq, axis=1))
+    np.testing.assert_array_equal(np.asarray(st_a.q_i), np.asarray(st_b.q_i))
+    np.testing.assert_array_equal(np.asarray(st_a.vis_head), np.asarray(st_b.vis_head))
