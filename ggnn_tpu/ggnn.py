@@ -19,7 +19,9 @@ runtime (src/ggnn/base/ggnn.cu:53-564, src/ggnn/base/gpu_instance.cu:136-790):
 
 from __future__ import annotations
 
+import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import jax
@@ -260,10 +262,21 @@ class GGNN:
         }
         vlog(0, "build completed in %.3f s (wall)", wall)
 
+    def _io_pool(self) -> ThreadPoolExecutor:
+        """Shared host-IO thread pool (the reference's per-slot io_threads,
+        gpu_instance.cuh:153-154: disk/PCIe work off the compute path)."""
+        if getattr(self, "_io_pool_obj", None) is None:
+            self._io_pool_obj = ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 4),
+                thread_name_prefix="ggnn-io",
+            )
+        return self._io_pool_obj
+
     def store(self) -> None:
         if self._working_dir is None:
             raise RuntimeError("set_working_directory() first")
-        for shard in self._shards:
+
+        def _store_one(shard):
             graph = shard.graph if shard.graph is not None else shard.graph_host
             if graph is None:
                 raise RuntimeError(f"shard {shard.shard_id}: nothing to store")
@@ -271,16 +284,21 @@ class GGNN:
                 self._working_dir / f"part_{shard.shard_id}.npz", graph, self._cfg
             )
 
+        list(self._io_pool().map(_store_one, self._shards))
+
     def load(self, k_build: int) -> None:
         if self._working_dir is None:
             raise RuntimeError("set_working_directory() first")
         self._prepare(k_build)
-        for shard in self._shards:
+
+        def _load_one(shard):
             path = self._working_dir / f"part_{shard.shard_id}.npz"
             graph, cfg = load_graph_shard(path)
             if cfg.N != self._cfg.N or cfg.KBuild != k_build or cfg.D != self._cfg.D:
                 raise ValueError(f"{path}: incompatible graph geometry")
             shard.graph_host = graph
+
+        list(self._io_pool().map(_load_one, self._shards))
         # measure is not stored in the reference either; keep current setting
 
     def has_graph(self) -> bool:
