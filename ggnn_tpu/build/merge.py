@@ -67,7 +67,8 @@ def _merge_chunk(
 ):
     B = n.shape[0]
     KBuild = cfg.KBuild
-    sizes = cfg.merge_beam_sizes()
+    width, vis_size = cfg.merge_beam_geometry()
+    k_best = KBuild + 1  # merge_layer.cuh:40: BEST holds KBuild+1 (self + K)
 
     # slack (merge_layer.cu:74-76): mean 1-NN distance scaled by tau_build
     if measure == DistanceMeasure.Euclidean:
@@ -79,7 +80,7 @@ def _merge_chunk(
     q_vecs = base[m].astype(jnp.float32)
     q_sq = base_sq[m]
 
-    state = beam_init(B, sizes, xi)
+    state = beam_init(B, width, xi, vis_size)
 
     # seed with the node's top-layer segment (merge_layer.cu:86-97)
     s_offset = _top_seg_offset(n, layer_top, layer_btm, cfg)
@@ -97,14 +98,17 @@ def _merge_chunk(
 
     # hierarchic descent (merge_layer.cu:100-121)
     for layer in range(layer_top - 1, layer_btm - 1, -1):
-        state = beam_transform(state, selection[layer + 1])
+        state = beam_transform(state, selection[layer + 1], keep=k_best)
         trans_l = translation[layer] if layer else None
         if layer == layer_btm:
             # fetch the node itself (merge_layer.cu:103-104)
             d_own, _ = gather_dists(
                 q_vecs, q_sq, n[:, None], base, base_sq, trans_l, measure
             )
-            state = beam_insert(state, n[:, None], d_own)
+            state = beam_insert(
+                state, n[:, None], d_own,
+                criteria=jnp.full((B,), jnp.inf, jnp.float32),
+            )
         state = best_first_search(
             state,
             q_vecs,
@@ -115,11 +119,12 @@ def _merge_chunk(
             trans_l,
             measure,
             MERGE_MAX_ITERATIONS,
+            k_best=k_best,
             pops_per_iter=pops_per_iter,
         )
 
     # write-out with self-link removal (merge_layer.cu:123-145)
-    best_i, best_d = state.best_i, state.best_d  # [B, KBuild+1]
+    best_i, best_d = state.best(k_best)  # [B, KBuild+1]
     own_eq = best_i[:, :KBuild] == n[:, None]
     own_found = jnp.any(own_eq, axis=-1)
     own_pos = jnp.where(own_found, jnp.argmax(own_eq, axis=-1), -1).astype(jnp.int32)

@@ -43,8 +43,7 @@ from ggnn_tpu.ops.beam import (
     beam_dedup_mask,
     beam_init,
     beam_insert,
-    beam_insert_deduped,
-    beam_pop_multi,
+    beam_pop,
 )
 
 __all__ = ["sym_pass"]
@@ -108,7 +107,7 @@ def _sym_walk(
     R = n.shape[0]
     KL, KF = cfg.KL, cfg.KF
     KC = KL + KF
-    sizes = cfg.sym_beam_sizes()
+    width, vis_size = cfg.sym_beam_geometry()
     P = max(1, pops_per_iter)
     steps = -(-SYM_MAX_PER_PATH_ITERATIONS // P)
     # dedup-before-fetch compaction cap (see ops/traverse.py)
@@ -135,16 +134,16 @@ def _sym_walk(
     )
     criteria_half = dh0[:, 0] + xi
 
-    state = beam_init(R, sizes, xi)
+    state = beam_init(R, width, xi, vis_size)
     state = beam_insert(
         state, start[:, None], dq0, criteria=jnp.full((R,), jnp.inf, jnp.float32)
     )
 
     def step(st, connected, cap_now):
         # criteria_sym = best distance + xi (simple_knn_sym_cache.cuh:285-288)
-        crit = st.best_d[:, 0] + st.xi
-        anchors, active, st = beam_pop_multi(
-            st, P, row_mask=~connected, criteria=crit
+        crit = st.d[:, 0] + st.xi
+        anchors, active, st = beam_pop(
+            st, P, KF, row_mask=~connected, criteria=crit
         )  # [R, P]
         safe_anchor = jnp.where(anchors != -1, anchors, 0)
         # candidates = KL local links + KF requested inverse links per anchor
@@ -168,7 +167,7 @@ def _sym_walk(
         # admit only when close to both query and half point
         # (simple_knn_sym_cache.cuh:423-436)
         admitted = jnp.where(dh < criteria_half[:, None], packed, -1)
-        st = beam_insert_deduped(
+        st = beam_insert(
             st, admitted, dq, row_mask=active & ~found, criteria=crit
         )
         return st, connected, active & ~found
@@ -194,7 +193,8 @@ def _sym_walk(
     state, connected, _, _ = jax.lax.while_loop(
         cond, body, (state, connected, jnp.int32(0), jnp.bool_(True))
     )
-    return connected, state.best_i  # preference list: [R, KF] best path nodes
+    # preference list: the KF best on-path nodes (sym_query_layer.cu:124-129)
+    return connected, state.best(KF)[0]
 
 
 def _insert_requests(

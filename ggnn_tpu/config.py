@@ -218,43 +218,41 @@ class GraphConfig:
         """Number of local (non-foreign) links per point."""
         return self.KBuild - self.KF
 
-    def merge_beam_sizes(self) -> tuple[int, int, int]:
-        """(best, queue, visited) capacities for the hierarchical merge search.
+    def merge_beam_geometry(self) -> tuple[int, int]:
+        """(beam width, visited-ring size) for the hierarchical merge search.
 
-        Mirrors merge_layer.cuh:40-41,64-65: BEST=KBuild+1,
-        SORTED=max(64, next32(KBuild+1+16)), CACHE=256.
-        """
-        best = self.KBuild + 1
+        The reference keeps BEST=KBuild+1 results plus a priority queue in a
+        SORTED region of max(64, next32(KBuild+1+16)) shared-memory slots and
+        a visited ring filling the rest of CACHE_SIZE=256
+        (merge_layer.cuh:40-41,64-65); the flagged beam is the sorted region,
+        the ring is id-only dedup history."""
         sorted_size = max(
             64 if MERGE_CACHE_SIZE < 512 else 32,
             next_multiple(self.KBuild + 1 + MIN_PRIOQ_SIZE, 32),
         )
         cache = max(MERGE_CACHE_SIZE, sorted_size + QUERY_MIN_VISITED_SIZE)
-        return best, sorted_size - best, cache - sorted_size
+        return sorted_size, cache - sorted_size
 
-    def sym_beam_sizes(self) -> tuple[int, int, int]:
-        """(best, queue, visited) capacities for the inverse-link walk.
+    def sym_beam_geometry(self) -> tuple[int, int]:
+        """(beam width, visited-ring size) for the inverse-link walk.
 
         Mirrors sym_query_layer.cuh:37-38,58-59: BEST=KF,
-        SORTED=max(64, next32(KF+16)), CACHE=128.
-        """
-        best = self.KF
+        SORTED=max(64, next32(KF+16)), CACHE=128."""
         sorted_size = max(
             64 if SYM_CACHE_SIZE < 512 else 32,
             next_multiple(self.KF + MIN_PRIOQ_SIZE, 32),
         )
         cache = max(SYM_CACHE_SIZE, sorted_size + QUERY_MIN_VISITED_SIZE)
-        return best, sorted_size - best, cache - sorted_size
+        return sorted_size, cache - sorted_size
 
     @staticmethod
-    def query_beam_sizes(KQuery: int, max_iterations: int) -> tuple[int, int, int]:
-        """(best, queue, visited) capacities for the ANN query.
+    def query_beam_geometry(KQuery: int, max_iterations: int) -> tuple[int, int]:
+        """(beam width, visited-ring size) for the ANN query.
 
-        Mirrors query_kernels.cu:54-110: BEST=KQuery,
-        required_sorted=next32(KQuery+1+16),
-        cache=max(256, required+32, bit_ceil(max_iters)) <= 8192,
-        sorted=max(64 if cache<512 else 32, required).
-        """
+        Mirrors the reference's sizing (query_kernels.cu:54-110):
+        required=next32(KQuery+1+16), cache=max(256, required+32,
+        bit_ceil(max_iters)) <= 8192, sorted=max(64 if cache<512 else 32,
+        required); the ring gets cache - sorted slots."""
         if KQuery > MAX_KQUERY:
             raise ValueError(f"KQuery={KQuery} exceeds maximum {MAX_KQUERY}")
         required_sorted = next_multiple(KQuery + 1 + QUERY_MIN_PRIOQ_SIZE, 32)
@@ -266,7 +264,7 @@ class GraphConfig:
         if cache > QUERY_MAX_CACHE_SIZE:
             cache = QUERY_MAX_CACHE_SIZE
         sorted_size = max(64 if cache < 512 else 32, required_sorted)
-        return KQuery, sorted_size - KQuery, cache - sorted_size
+        return sorted_size, cache - sorted_size
 
     # --- segment helpers ---------------------------------------------------
 

@@ -1,25 +1,40 @@
 """Batched best-first graph traversal state (the TPU "SimpleKNNCache").
 
 The reference keeps per-query traversal state in CUDA shared memory: a sorted
-best list, a sorted priority-queue ring buffer, and a visited ring
-(include/ggnn/cuda_utils/simple_knn_cache.cuh:41-87). One block serves one
-query and runs a data-dependent while loop.
+best list ``[0, BEST)``, a sorted priority-queue ring ``[BEST, SORTED)`` and a
+visited ring ``[SORTED, CACHE)`` (include/ggnn/cuda_utils/
+simple_knn_cache.cuh:41-87). One block serves one query and runs a
+data-dependent while loop: pop the queue head, fetch its neighbors, dedup
+against all three segments, shift-insert admitted candidates.
 
-On TPU, traversal state lives in fixed-shape arrays over a *batch* of rows
-(queries or nodes under construction), and each step is a dense masked update:
+On TPU the state is ONE sorted array per row with an "expanded" flag -- the
+*flagged beam* -- plus an id-only visited ring:
 
-  * ``best_d/best_i [B, BEST]``  -- all-time top-BEST, sorted ascending.
-  * ``q_d/q_i [B, QS]``          -- unvisited frontier, sorted ascending
-                                    (the priority queue).
-  * ``vis [B, V]``               -- ring of popped ids (dedup history).
-  * ``xi [B]``                   -- slack for the stopping criterion
-                                    ``head < best_worst + xi``.
+  * ``d/i [B, W]``   -- the W best candidates ever admitted, sorted ascending
+                        (W = the reference's SORTED size, best+queue).
+  * ``exp [B, W]``   -- True once a slot's node has been expanded. The
+                        reference's best-list/queue split collapses into this
+                        flag: "queue" = unexpanded entries, results = the
+                        leading ``k_best`` entries.
+  * ``vis [B, V]``   -- ring of expanded ids (dedup history). Expanded
+                        entries usually stay in the beam, but once one is
+                        pushed past column W it would otherwise be re-added
+                        and re-expanded through a back-edge -- the reference's
+                        visited ring ([SORTED, CACHE)) exists for exactly
+                        this, and dropping it measurably hurts both recall
+                        and speed.
+  * ``xi [B]``       -- slack for the stopping criterion.
 
-``pop`` = take the queue head; ``push`` = dedup against best+queue+visited,
-filter by the slack criterion, then sorted-merge (``lax.sort``) into best and
-queue. Rows converge independently via masks; the surrounding
-``lax.while_loop`` ends when every row's queue head fails the criterion
-(the batched equivalent of the reference's per-block ``break``).
+``pop`` selects the first P unexpanded entries below ``d[K_best-1] + xi``
+(the reference's ``best.worst() + xi`` criterion), flags them and records
+them in the ring; ``insert`` is one 3-operand sorted merge. Compared to a
+literal translation this does one merge per step instead of two and needs no
+ring *reshuffling* -- the VPU-bound costs the ablation showed at ~40% of
+query step time.
+
+Rows converge independently via masks; the surrounding ``lax.while_loop``
+ends when every row's pop comes up empty (the batched equivalent of the
+reference's per-block ``break``).
 """
 
 from __future__ import annotations
@@ -35,9 +50,7 @@ __all__ = [
     "beam_dedup_mask",
     "beam_compact_candidates",
     "beam_insert",
-    "beam_insert_deduped",
     "beam_pop",
-    "beam_pop_multi",
     "beam_transform",
 ]
 
@@ -46,43 +59,47 @@ EMPTY_DIST = jnp.inf
 
 
 class BeamState(NamedTuple):
-    best_d: jax.Array  # [B, BEST] f32
-    best_i: jax.Array  # [B, BEST] i32
-    q_d: jax.Array  # [B, QS] f32
-    q_i: jax.Array  # [B, QS] i32
-    vis: jax.Array  # [B, V] i32
-    vis_head: jax.Array  # [B] i32
+    d: jax.Array  # [B, W] f32, sorted ascending, inf = empty
+    i: jax.Array  # [B, W] i32, -1 = empty
+    exp: jax.Array  # [B, W] bool, True = already expanded
+    vis: jax.Array  # [B, V] i32 ring of expanded ids (-1 = empty)
+    vis_head: jax.Array  # [B] i32 next ring slot
     xi: jax.Array  # [B] f32
 
     @property
     def batch(self) -> int:
-        return self.best_d.shape[0]
+        return self.d.shape[0]
 
-    def criteria(self) -> jax.Array:
-        """Worst-best + slack (simple_knn_cache.cuh:121-124)."""
-        return self.best_d[:, -1] + self.xi
+    @property
+    def width(self) -> int:
+        return self.d.shape[1]
+
+    def best(self, k: int):
+        """The current k best (ids, dists), sorted ascending."""
+        return self.i[:, :k], self.d[:, :k]
+
+    def criteria(self, k_best: int) -> jax.Array:
+        """``best.worst() + xi`` (simple_knn_cache.cuh:121-124). While fewer
+        than ``k_best`` entries exist the k-th distance is inf, so everything
+        is admitted -- matching the reference's EMPTY_DIST-initialized best
+        list."""
+        return self.d[:, k_best - 1] + self.xi
 
 
-def beam_init(batch: int, sizes: tuple[int, int, int], xi: jax.Array) -> BeamState:
-    """Empty state. ``sizes`` = (BEST, QS, V); ``xi``: [B] or scalar slack."""
-    best, qs, v = sizes
+def beam_init(
+    batch: int, width: int, xi: jax.Array, vis_size: int = 0
+) -> BeamState:
+    """Empty beam of the given width and visited-ring size; ``xi``: [B] or
+    scalar slack."""
     xi = jnp.broadcast_to(jnp.asarray(xi, jnp.float32), (batch,))
     return BeamState(
-        best_d=jnp.full((batch, best), EMPTY_DIST, jnp.float32),
-        best_i=jnp.full((batch, best), EMPTY_ID, jnp.int32),
-        q_d=jnp.full((batch, qs), EMPTY_DIST, jnp.float32),
-        q_i=jnp.full((batch, qs), EMPTY_ID, jnp.int32),
-        vis=jnp.full((batch, v), EMPTY_ID, jnp.int32),
+        d=jnp.full((batch, width), EMPTY_DIST, jnp.float32),
+        i=jnp.full((batch, width), EMPTY_ID, jnp.int32),
+        exp=jnp.zeros((batch, width), bool),
+        vis=jnp.full((batch, max(vis_size, 1)), EMPTY_ID, jnp.int32),
         vis_head=jnp.zeros((batch,), jnp.int32),
         xi=xi,
     )
-
-
-def _sorted_merge(d_a, i_a, d_b, i_b, keep: int):
-    d = jnp.concatenate([d_a, d_b], axis=-1)
-    i = jnp.concatenate([i_a, i_b], axis=-1)
-    d, i = jax.lax.sort((d, i), dimension=-1, num_keys=1)
-    return d[..., :keep], i[..., :keep]
 
 
 def beam_dedup_mask(
@@ -92,12 +109,11 @@ def beam_dedup_mask(
 ) -> jax.Array:
     """Which candidates are new to the beam (the id-only part of ``fetch``).
 
-    Mirrors simple_knn_cache.cuh:126-146 & 241-261: a candidate is dropped if
-    it already appears in the best list, the queue, the visited ring, or
-    earlier in this same tile. Returns a [B, K] bool mask. Run this BEFORE
-    gathering candidate vectors -- like the reference, which filters known ids
-    before any distance computation -- so duplicate rows are never fetched
-    from HBM.
+    Mirrors simple_knn_cache.cuh:126-146 & 241-261: drop a candidate already
+    present in the beam or earlier in this same tile. Run BEFORE gathering
+    candidate vectors -- like the reference, which filters known ids before
+    any distance computation -- so duplicate rows are never fetched from HBM.
+    Returns a [B, K] bool mask.
     """
     K = cand_i.shape[1]
     ok = cand_i != EMPTY_ID
@@ -109,8 +125,8 @@ def beam_dedup_mask(
     lower = jnp.tril(jnp.ones((K, K), bool), k=-1)
     ok &= ~jnp.any(eq & lower[None], axis=-1)
 
-    # dedup against cache contents
-    seen = jnp.concatenate([state.best_i, state.q_i, state.vis], axis=-1)  # [B, C]
+    # dedup against the beam and the visited ring
+    seen = jnp.concatenate([state.i, state.vis], axis=-1)
     ok &= ~jnp.any(cand_i[:, :, None] == seen[:, None, :], axis=-1)
     return ok
 
@@ -120,7 +136,7 @@ def beam_compact_candidates(cand_i: jax.Array, ok: jax.Array, cap: int):
 
     Graph walks re-encounter most neighbor ids, so after dedup typically less
     than half a tile survives; compacting before the vector gather halves the
-    HBM gather volume (the dominant cost of traversal on TPU). Order among
+    HBM gather volume (the dominant traversal cost on TPU). Order among
     survivors is preserved. Returns [B, cap] ids with EMPTY padding.
     """
     K = cand_i.shape[1]
@@ -136,198 +152,123 @@ def beam_compact_candidates(cand_i: jax.Array, ok: jax.Array, cap: int):
     return packed[:, :cap]
 
 
-def beam_insert_deduped(
-    state: BeamState,
-    cand_i: jax.Array,
-    cand_d: jax.Array,
-    row_mask: jax.Array | None = None,
-    *,
-    criteria: jax.Array | None = None,
-) -> BeamState:
-    """Merge already-deduplicated candidates into the beam.
-
-    The admission criterion (fetch at simple_knn_cache.cuh:284) is applied
-    here; ids must already be unique vs the cache and within the tile
-    (see :func:`beam_dedup_mask`). EMPTY ids are ignored.
-    """
-    ok = cand_i != EMPTY_ID
-    crit = state.criteria() if criteria is None else criteria
-    ok &= cand_d < crit[:, None]
-
-    cand_d = jnp.where(ok, cand_d, EMPTY_DIST)
-    cand_i = jnp.where(ok, cand_i, EMPTY_ID)
-
-    new_best_d, new_best_i = _sorted_merge(
-        state.best_d, state.best_i, cand_d, cand_i, state.best_d.shape[-1]
-    )
-    new_q_d, new_q_i = _sorted_merge(
-        state.q_d, state.q_i, cand_d, cand_i, state.q_d.shape[-1]
-    )
-
-    if row_mask is not None:
-        m = row_mask[:, None]
-        new_best_d = jnp.where(m, new_best_d, state.best_d)
-        new_best_i = jnp.where(m, new_best_i, state.best_i)
-        new_q_d = jnp.where(m, new_q_d, state.q_d)
-        new_q_i = jnp.where(m, new_q_i, state.q_i)
-    return state._replace(
-        best_d=new_best_d, best_i=new_best_i, q_d=new_q_d, q_i=new_q_i
-    )
-
-
 def beam_insert(
     state: BeamState,
     cand_i: jax.Array,
     cand_d: jax.Array,
-    valid: jax.Array | None = None,
     row_mask: jax.Array | None = None,
     *,
-    criteria: jax.Array | None = None,
+    criteria: jax.Array,
 ) -> BeamState:
-    """Push a tile of candidates into the beam (the batched ``fetch``+``push``).
+    """Merge deduplicated candidates into the beam (one 3-operand sort).
 
-    Args:
-      cand_i: [B, K] candidate ids (-1 = empty slot).
-      cand_d: [B, K] candidate distances.
-      valid: optional [B, K] mask of usable candidates.
-      row_mask: optional [B] mask; masked-off rows keep their state unchanged.
-      criteria: optional [B] admission threshold override (default:
-        ``state.criteria()``, i.e. best_worst + xi).
-
-    Dedup follows simple_knn_cache.cuh:126-146 & 241-261: a candidate is
-    dropped if it already appears in the best list, the queue, the visited
-    ring, or earlier in this same tile.
+    The admission criterion (fetch at simple_knn_cache.cuh:284) is applied
+    here; ids must already be unique vs the beam and within the tile (see
+    :func:`beam_dedup_mask`). EMPTY ids are ignored. Entries pushed past
+    column W fall off -- exactly the reference's finite sorted cache.
     """
-    ok = beam_dedup_mask(state, cand_i, valid)
+    ok = (cand_i != EMPTY_ID) & (cand_d < criteria[:, None])
+    cand_d = jnp.where(ok, cand_d, EMPTY_DIST)
     cand_i = jnp.where(ok, cand_i, EMPTY_ID)
-    return beam_insert_deduped(
-        state, cand_i, cand_d, row_mask=row_mask, criteria=criteria
-    )
+    cand_exp = jnp.zeros(cand_i.shape, bool)
+
+    d = jnp.concatenate([state.d, cand_d], axis=-1)
+    i = jnp.concatenate([state.i, cand_i], axis=-1)
+    exp = jnp.concatenate([state.exp, cand_exp], axis=-1)
+    d, i, exp = jax.lax.sort((d, i, exp), dimension=-1, num_keys=1)
+    W = state.width
+    d, i, exp = d[:, :W], i[:, :W], exp[:, :W]
+
+    if row_mask is not None:
+        m = row_mask[:, None]
+        d = jnp.where(m, d, state.d)
+        i = jnp.where(m, i, state.i)
+        exp = jnp.where(m, exp, state.exp)
+    return state._replace(d=d, i=i, exp=exp)
 
 
 def beam_pop(
     state: BeamState,
-    row_mask: jax.Array | None = None,
-    *,
-    criteria: jax.Array | None = None,
-):
-    """Pop the queue head where it passes the stopping criterion.
-
-    Mirrors simple_knn_cache.cuh:215-239: returns EMPTY (inactive row) when
-    the queue is empty or the head distance >= criteria; otherwise removes the
-    head and records it in the visited ring.
-
-    Returns: (anchor [B] i32, active [B] bool, new_state).
-    """
-    head_d = state.q_d[:, 0]
-    head_i = state.q_i[:, 0]
-    crit = state.criteria() if criteria is None else criteria
-    active = (head_i != EMPTY_ID) & (head_d < crit)
-    if row_mask is not None:
-        active &= row_mask
-
-    B, V = state.vis.shape
-    rows = jnp.arange(B)
-    # record popped id in the visited ring
-    cur = state.vis[rows, state.vis_head]
-    vis = state.vis.at[rows, state.vis_head].set(jnp.where(active, head_i, cur))
-    vis_head = jnp.where(active, (state.vis_head + 1) % V, state.vis_head)
-
-    # shift the queue left by one on active rows
-    q_d_shift = jnp.concatenate(
-        [state.q_d[:, 1:], jnp.full((B, 1), EMPTY_DIST, jnp.float32)], axis=-1
-    )
-    q_i_shift = jnp.concatenate(
-        [state.q_i[:, 1:], jnp.full((B, 1), EMPTY_ID, jnp.int32)], axis=-1
-    )
-    q_d = jnp.where(active[:, None], q_d_shift, state.q_d)
-    q_i = jnp.where(active[:, None], q_i_shift, state.q_i)
-
-    anchor = jnp.where(active, head_i, EMPTY_ID)
-    return anchor, active, state._replace(q_d=q_d, q_i=q_i, vis=vis, vis_head=vis_head)
-
-
-def beam_pop_multi(
-    state: BeamState,
     P: int,
+    k_best: int,
     row_mask: jax.Array | None = None,
     *,
     criteria: jax.Array | None = None,
 ):
-    """Pop up to ``P`` queue heads per row in one step.
+    """Select and flag the first P unexpanded entries passing the criterion.
 
-    TPU-native widening of the reference's one-anchor-per-iteration pop
-    (simple_knn_cache.cuh:215-239): expanding the P best frontier entries
-    together shortens the sequential loop by P× and turns the per-iteration
-    distance computation into a larger, MXU-friendlier tile. The queue is
-    sorted ascending, so the entries passing the ``head < best_worst + xi``
-    criterion are exactly a prefix; each row pops its own prefix length.
+    The batched widening of the reference pop (simple_knn_cache.cuh:215-239):
+    the beam is sorted, so the P best unexpanded entries below
+    ``d[k_best-1] + xi`` are this step's anchors. P=1 reproduces the
+    reference's one-anchor-at-a-time visit order.
+
+    Eviction matches the reference's segment split: a popped entry beyond the
+    ``k_best`` result prefix is BLANKED (the reference removes the popped
+    queue copy entirely, simple_knn_cache.cuh:233-235, keeping the full queue
+    capacity for frontier; its id lives on in the visited ring for dedup). A
+    popped entry inside the prefix stays -- it is the reference's best-list
+    copy. Blanked slots leave the tail momentarily unsorted; the next
+    insert's merge re-sorts, and the prefix -- everything criteria/results
+    read -- is never blanked.
 
     Returns: (anchors [B, P] i32 with EMPTY padding, active [B] bool,
     new_state).
     """
-    if P == 1:
-        anchor, active, st = beam_pop(state, row_mask, criteria=criteria)
-        return anchor[:, None], active, st
-
-    B, QS = state.q_d.shape
-    crit = state.criteria() if criteria is None else criteria
-    head_d = state.q_d[:, :P]
-    head_i = state.q_i[:, :P]
-    passes = (head_i != EMPTY_ID) & (head_d < crit[:, None])  # [B, P]
+    B, W = state.d.shape
+    crit = state.criteria(k_best) if criteria is None else criteria
+    mask = ~state.exp & (state.i != EMPTY_ID) & (state.d < crit[:, None])
     if row_mask is not None:
-        passes &= row_mask[:, None]
-    # sorted queue => passing entries form a prefix; count = pops this step
-    cnt = jnp.sum(jnp.cumprod(passes.astype(jnp.int32), axis=-1), axis=-1)
-    active = cnt > 0
-    popped = jnp.arange(P, dtype=jnp.int32)[None, :] < cnt[:, None]  # [B, P]
-    anchors = jnp.where(popped, head_i, EMPTY_ID)
+        mask &= row_mask[:, None]
 
-    # append popped ids to the visited ring (vectorized ring write)
+    iota = jnp.arange(W, dtype=jnp.int32)[None, :]
+    key = jnp.where(mask, iota, W)
+    pos = jax.lax.sort(key, dimension=-1)[:, :P]  # first P positions
+    valid = pos < W
+    safe_pos = jnp.minimum(pos, W - 1)
+    anchors = jnp.where(valid, jnp.take_along_axis(state.i, safe_pos, axis=-1),
+                        EMPTY_ID)
+
+    hit = jnp.any((iota[:, :, None] == pos[:, None, :]) & valid[:, None, :],
+                  axis=-1)  # [B, W]
+    evict = hit & (iota >= k_best)
+    d = jnp.where(evict, EMPTY_DIST, state.d)
+    i = jnp.where(evict, EMPTY_ID, state.i)
+    exp = state.exp | hit
+
+    # record popped ids in the visited ring (the reference appends on pop,
+    # simple_knn_cache.cuh:230-236); out-of-range writes are dropped
     V = state.vis.shape[-1]
+    cnt = jnp.sum(valid, axis=-1)
     slot = (state.vis_head[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]) % V
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    w_slot = jnp.where(popped, slot, V)  # out-of-range rows are dropped
+    w_slot = jnp.where(valid, slot, V)
     vis = state.vis.at[rows, w_slot].set(anchors, mode="drop")
     vis_head = (state.vis_head + cnt) % V
 
-    # shift the queue left by each row's own pop count
-    idx = jnp.arange(QS, dtype=jnp.int32)[None, :] + cnt[:, None]
-    valid = idx < QS
-    idx = jnp.minimum(idx, QS - 1)
-    q_d = jnp.where(valid, jnp.take_along_axis(state.q_d, idx, axis=-1), EMPTY_DIST)
-    q_i = jnp.where(valid, jnp.take_along_axis(state.q_i, idx, axis=-1), EMPTY_ID)
-
-    return anchors, active, state._replace(
-        q_d=q_d, q_i=q_i, vis=vis, vis_head=vis_head
+    return anchors, jnp.any(valid, axis=-1), state._replace(
+        d=d, i=i, exp=exp, vis=vis, vis_head=vis_head
     )
 
 
-def beam_transform(state: BeamState, mapping: jax.Array) -> BeamState:
-    """Descend one layer: remap best ids, restart the queue from the best list.
+def beam_transform(state: BeamState, mapping: jax.Array, keep: int) -> BeamState:
+    """Descend one layer: remap the best ``keep`` ids, reset expansion flags.
 
     Mirrors simple_knn_cache.cuh:297-333: best-list ids are remapped through
-    ``mapping`` (selection: layer-l id -> layer-(l-1) id), the queue is
-    re-seeded with a copy of the (remapped) best list, and the visited ring is
-    cleared.
+    ``mapping`` (selection: layer-l id -> layer-(l-1) id), everything becomes
+    expandable again (the reference re-seeds its queue from the best list and
+    clears the visited ring), entries beyond ``keep`` are dropped.
     """
-    best = state.best_i.shape[-1]
-    qs = state.q_d.shape[-1]
-    ok = state.best_i != EMPTY_ID
+    W = state.width
+    col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    ok = (state.i != EMPTY_ID) & (col < keep)
     remapped = jnp.where(
-        ok, mapping[jnp.clip(state.best_i, 0, mapping.shape[0] - 1)], EMPTY_ID
+        ok, mapping[jnp.clip(state.i, 0, mapping.shape[0] - 1)], EMPTY_ID
     )
-    ncopy = min(best, qs)
-    q_i = jnp.full_like(state.q_i, EMPTY_ID).at[:, :ncopy].set(remapped[:, :ncopy])
-    q_d = (
-        jnp.full_like(state.q_d, EMPTY_DIST)
-        .at[:, :ncopy]
-        .set(state.best_d[:, :ncopy])
-    )
+    d = jnp.where(ok, state.d, EMPTY_DIST)
     return state._replace(
-        best_i=remapped,
-        q_i=q_i,
-        q_d=q_d,
+        i=remapped,
+        d=d,
+        exp=jnp.zeros_like(state.exp),
         vis=jnp.full_like(state.vis, EMPTY_ID),
         vis_head=jnp.zeros_like(state.vis_head),
     )

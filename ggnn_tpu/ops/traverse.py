@@ -3,10 +3,11 @@
 TPU-native replacement for the reference's per-block traversal loops
 (src/ggnn/query/query_layer.cu:57-79, src/ggnn/construction/merge_layer.cu:
 100-121): a `lax.while_loop` over a whole batch of rows, where each iteration
-pops one anchor per row, gathers its neighbor row, computes an MXU/VPU
-distance tile against the per-row query, and sorted-merges the admitted
-candidates back into the beam. Rows converge independently via masks; the
-loop exits once every row is done (or at ``max_iterations``).
+pops P anchors per row from the flagged beam, gathers their neighbor rows,
+dedups candidate ids, computes an MXU/VPU distance tile against the per-row
+query, and sorted-merges the admitted candidates back into the beam. Rows
+converge independently via masks; the loop exits once every row is done (or
+at the ``max_iterations`` pop budget).
 """
 
 from __future__ import annotations
@@ -22,8 +23,7 @@ from ggnn_tpu.ops.beam import (
     beam_compact_candidates,
     beam_dedup_mask,
     beam_insert,
-    beam_insert_deduped,
-    beam_pop_multi,
+    beam_pop,
 )
 from ggnn_tpu.ops.distance import dist_gathered
 
@@ -69,9 +69,13 @@ def seed_beam(
     measure: DistanceMeasure,
     valid: jax.Array | None = None,
 ) -> BeamState:
-    """Insert starting points (the batched ``fetch_unfiltered``)."""
+    """Insert starting points unconditionally (the batched
+    ``fetch_unfiltered``)."""
+    ok = beam_dedup_mask(state, seed_ids, valid)
+    seed_ids = jnp.where(ok, seed_ids, -1)
     d, _ = gather_dists(q_vecs, q_sq, seed_ids, base, base_sq, translation, measure)
-    return beam_insert(state, seed_ids, d, valid=valid)
+    no_crit = jnp.full((state.batch,), jnp.inf, jnp.float32)
+    return beam_insert(state, seed_ids, d, criteria=no_crit)
 
 
 def best_first_search(
@@ -84,6 +88,7 @@ def best_first_search(
     translation: jax.Array | None,
     measure: DistanceMeasure,
     max_iterations: int,
+    k_best: int,
     dynamic_xi: Callable[[BeamState], jax.Array] | None = None,
     pops_per_iter: int = 1,
     fetch_cap_fraction: float = 0.5,
@@ -98,16 +103,20 @@ def best_first_search(
       max_iterations: total anchor-pop budget (MAX_ITERATIONS=200 for merge,
         user max_iterations for query). Matches the reference's per-query
         iteration count regardless of ``pops_per_iter``.
+      k_best: size of the logical best list feeding the stopping criterion
+        ``d[k_best-1] + xi`` (KQuery for queries, KBuild+1 for merge).
       dynamic_xi: optional per-iteration slack update (query_layer.cu:58-63).
       pops_per_iter: anchors expanded per loop step. 1 reproduces the
         reference visit order exactly; >1 shortens the sequential loop by
         that factor and widens the per-step distance tile (TPU-friendly).
       fetch_cap_fraction: after id-dedup, candidates are packed left and the
         vector gather is capped at this fraction of the raw tile (graph walks
-        re-encounter most ids, so typically <50% survive dedup; capping halves
-        the HBM gather volume -- the reference's fetch also filters known ids
-        before computing any distance, simple_knn_cache.cuh:246-261).
-        Survivors beyond the cap are dropped (rare; costs a revisit at most).
+        re-encounter most ids, so typically <50% survive dedup; capping
+        halves the HBM gather volume -- the reference's fetch also filters
+        known ids before computing any distance,
+        simple_knn_cache.cuh:246-261). Survivors beyond the cap are dropped
+        (rare; costs a revisit at most). The first two expansions always run
+        uncapped: with an empty beam nearly every candidate survives dedup.
     """
     K = nbr_table.shape[-1]
     P = max(1, pops_per_iter)
@@ -120,7 +129,7 @@ def best_first_search(
     def step(st, cap_now):
         if dynamic_xi is not None:
             st = st._replace(xi=dynamic_xi(st))
-        anchors, active, st = beam_pop_multi(st, P)  # [B, P]
+        anchors, active, st = beam_pop(st, P, k_best)  # [B, P]
         safe_anchor = jnp.where(anchors != -1, anchors, 0)
         nbrs = nbr_table[safe_anchor].reshape(anchors.shape[0], P * K)
         valid = jnp.repeat(anchors != -1, K, axis=-1, total_repeat_length=P * K)
@@ -128,7 +137,7 @@ def best_first_search(
         ok = beam_dedup_mask(st, nbrs, valid)
         cand = beam_compact_candidates(nbrs, ok, cap_now)
         d, _ = gather_dists(q_vecs, q_sq, cand, base, base_sq, translation, measure)
-        st = beam_insert_deduped(st, cand, d, row_mask=active)
+        st = beam_insert(st, cand, d, row_mask=active, criteria=st.criteria(k_best))
         return st, active
 
     def cond(carry):
@@ -140,8 +149,6 @@ def best_first_search(
         st, active = step(st, cap)
         return st, it + 1, jnp.any(active)
 
-    # first expansions run uncapped: with an empty beam nearly every candidate
-    # survives dedup, so capping there would drop genuinely-new frontier
     if cap < P * K:
         state, _ = step(state, P * K)
         state, _ = step(state, P * K)

@@ -78,7 +78,7 @@ def sharded_query(
     bit-identical results across execution strategies.
     """
     measure = DistanceMeasure(measure)
-    sizes = GraphConfig.query_beam_sizes(KQuery, max_iterations)
+    width, vis_size = GraphConfig.query_beam_geometry(KQuery, max_iterations)
     n_shard = base_stack.shape[1]
     tau = jnp.float32(tau_query)
 
@@ -100,7 +100,9 @@ def sharded_query(
             squared_norms(base),
             graph.nn1_stats,
             tau_s,
-            sizes=sizes,
+            width=width,
+            vis_size=vis_size,
+            k_query=KQuery,
             measure=measure,
             max_iterations=max_iterations,
             pops_per_iter=pops_per_iter,

@@ -27,7 +27,8 @@ __all__ = ["ann_query"]
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sizes", "measure", "max_iterations", "pops_per_iter", "fetch_cap_fraction"
+        "width", "vis_size", "k_query", "measure", "max_iterations", "pops_per_iter",
+        "fetch_cap_fraction",
     ),
 )
 def _query_chunk(
@@ -39,7 +40,9 @@ def _query_chunk(
     nn1_stats,
     tau_query,
     *,
-    sizes: tuple[int, int, int],
+    width: int,
+    vis_size: int,
+    k_query: int,
     measure: DistanceMeasure,
     max_iterations: int,
     pops_per_iter: int = 1,
@@ -55,7 +58,7 @@ def _query_chunk(
     else:
         xi0 = nn1_stats[1] * tau_query
 
-    state = beam_init(B, sizes, xi0)
+    state = beam_init(B, width, xi0, vis_size)
 
     # seed with the S starting points: a dense [B, S] MXU distance tile
     start_vecs = base[starting_points].astype(jnp.float32)
@@ -65,13 +68,14 @@ def _query_chunk(
     seed_ids = jnp.broadcast_to(starting_points[None, :], seed_d.shape).astype(
         jnp.int32
     )
-    state = beam_insert(state, seed_ids, seed_d)
+    no_crit = jnp.full((B,), jnp.inf, jnp.float32)
+    state = beam_insert(state, seed_ids, seed_d, criteria=no_crit)
 
     # dynamic slack tightening (query_layer.cu:58-63)
     if measure == DistanceMeasure.Euclidean:
-        dyn = lambda st: jnp.minimum(xi0, st.best_d[:, 0] * tau_query * tau_query)
+        dyn = lambda st: jnp.minimum(xi0, st.d[:, 0] * tau_query * tau_query)
     else:
-        dyn = lambda st: jnp.minimum(xi0, st.best_d[:, 0] * tau_query)
+        dyn = lambda st: jnp.minimum(xi0, st.d[:, 0] * tau_query)
 
     state = best_first_search(
         state,
@@ -83,11 +87,12 @@ def _query_chunk(
         None,
         measure,
         max_iterations,
+        k_best=k_query,
         dynamic_xi=dyn,
         pops_per_iter=pops_per_iter,
         fetch_cap_fraction=fetch_cap_fraction,
     )
-    return state.best_i, state.best_d
+    return state.best(k_query)
 
 
 def ann_query(
@@ -119,7 +124,7 @@ def ann_query(
     throughput.
     """
     measure = DistanceMeasure(measure)
-    sizes = GraphConfig.query_beam_sizes(KQuery, max_iterations)
+    width, vis_size = GraphConfig.query_beam_geometry(KQuery, max_iterations)
     if base_sq is None:
         base_sq = squared_norms(base)
     starting_points = graph.translation[cfg.L - 1]
@@ -141,7 +146,9 @@ def ann_query(
             base_sq,
             graph.nn1_stats,
             tau,
-            sizes=sizes,
+            width=width,
+            vis_size=vis_size,
+            k_query=KQuery,
             measure=measure,
             max_iterations=max_iterations,
             pops_per_iter=pops_per_iter,

@@ -48,22 +48,19 @@ def test_segment_cover_exact():
         assert contrib == cfg.S
 
 
-def test_beam_sizes_match_reference_formulae():
+def test_beam_geometry_matches_reference_sizes():
     cfg = GraphConfig.create(N=10_000, D=128, KBuild=24)
-    best, qs, vis = cfg.merge_beam_sizes()
-    assert best == 25  # KBuild + 1
-    assert best + qs == 64  # SORTED_SIZE
-    assert best + qs + vis == 256  # CACHE_SIZE
-    best, qs, vis = cfg.sym_beam_sizes()
-    assert best == 12  # KF
-    assert best + qs == 64
-    assert best + qs + vis == 128
-    best, qs, vis = GraphConfig.query_beam_sizes(10, 200)
-    assert best == 10
-    assert best + qs == 64
-    assert best + qs + vis == 256
-    best, qs, vis = GraphConfig.query_beam_sizes(10, 2000)
-    assert best + qs + vis == 2048  # bit_ceil(max_iters)
+    # beam width = the reference SORTED region, ring = CACHE - SORTED
+    assert cfg.merge_beam_geometry() == (64, 192)  # SORTED 64, CACHE 256
+    assert cfg.sym_beam_geometry() == (64, 64)  # SORTED 64, CACHE 128
+    assert GraphConfig.query_beam_geometry(10, 200) == (64, 192)
+    # large KQuery grows the width via required_sorted
+    assert GraphConfig.query_beam_geometry(100, 200)[0] == 128  # next32(100+17)
+    # large max_iterations grows the ring via cache = bit_ceil(max_iters)
+    w, v = GraphConfig.query_beam_geometry(10, 2000)
+    assert w + v == 2048
+    cfg512 = GraphConfig.create(N=100_000, D=128, KBuild=512)
+    assert cfg512.merge_beam_geometry()[0] == 544  # next32(512+1+16)
 
 
 def test_bounds_validation():
