@@ -124,6 +124,7 @@ class GGNN:
         self._kbuild: int | None = None
         self._measure = DistanceMeasure.Euclidean
         self._build_seed = 1234
+        self._back_to_front = False
         self.last_build_stats: dict | None = None
 
     # --- configuration (ggnn.cuh:66-123) ----------------------------------
@@ -215,9 +216,33 @@ class GGNN:
             self._shards.append(_Shard(i, device, self._base[lo : lo + n_shard]))
 
     def _resident_budget(self) -> int:
+        """Shards allowed in HBM at once.
+
+        Explicit cap wins; otherwise derived from device memory like the
+        reference's capacity planning from cudaMemGetInfo minus reserved
+        memory (gpu_instance.cu:136-227). Falls back to everything-resident
+        when the platform exposes no memory stats."""
         if self._max_device_shards is not None:
             return self._max_device_shards
-        return len(self._shards)
+        num_shards = len(self._shards)
+        if self._cfg is None or num_shards <= len(self._devices):
+            return num_shards
+        try:
+            stats = self._devices[0].memory_stats()
+            limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        except Exception:
+            limit = None
+        if not limit:
+            return num_shards
+        per_shard = (
+            self._cfg.N * self._cfg.D * self._base.dtype.itemsize  # base
+            + self._cfg.N * 4  # squared norms
+            + self._cfg.graph_size_bytes()
+        )
+        usable = max(0, int(limit) - self._reserved_device_memory)
+        # 2x headroom for traversal scratch + double-buffering
+        budget = max(1, usable // max(1, 2 * per_shard)) * len(self._devices)
+        return min(num_shards, budget)
 
     # --- build / store / load (ggnn.cu:205-276) -----------------------------
 
@@ -334,9 +359,17 @@ class GGNN:
         budget = self._resident_budget()
         resident = sum(1 for s in self._shards if s.graph is not None)
 
+        # alternate sweep direction per call so the shards left resident by
+        # the previous call are used first (process_shards_back_to_front,
+        # gpu_instance.cu:580,605,740)
+        order = list(self._shards)
+        if self._back_to_front and len(order) > budget:
+            order.reverse()
+        self._back_to_front = not self._back_to_front
+
         partials = []
         query_dev_cache = {}
-        for shard in self._shards:
+        for shard in order:
             if shard.graph is None and resident >= budget:
                 # out-of-core: rotate shards through HBM
                 for other in self._shards:
