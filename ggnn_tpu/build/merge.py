@@ -163,7 +163,7 @@ def merge_layer(
     measure: DistanceMeasure,
     tau_build: float,
     chunk: int = 8192,
-    pops_per_iter: int = 4,
+    pops_per_iter: int = 8,
 ):
     """Rebuild ``layer_btm`` neighborhoods by descending from ``layer_top``.
 

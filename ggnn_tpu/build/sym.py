@@ -257,12 +257,29 @@ def _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, *, KL: int, KF: int):
     return nbrs.at[:, KL:].set(out)
 
 
+@functools.partial(jax.jit, static_argnames=("KL",))
+def _rows_needing_walk(nbrs, *, KL: int):
+    """Which (node, local-neighbor) pairs need a walk at all.
+
+    A pair is trivially symmetric when the neighbor already links back --
+    mutual-kNN pairs, the common case, which the reference's walk detects on
+    its very first fetch (sym_query_layer.cu:87-97). Filtering them up front
+    lets the expensive walk scan run over a compacted row list (typically
+    half the rows or fewer)."""
+    Nl = nbrs.shape[0]
+    starts = nbrs[:, :KL]  # [Nl, KL]
+    back = nbrs[jnp.clip(starts, 0, None)]  # [Nl, KL, KBuild]
+    node = jnp.arange(Nl, dtype=jnp.int32)[:, None]
+    direct = jnp.any(back == node[:, :, None], axis=-1)
+    return (starts != -1) & (starts != node) & ~direct
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "layer", "measure", "use_translation", "num_chunks",
-                     "pops_per_iter"),
+    static_argnames=("cfg", "measure", "use_translation", "pops_per_iter"),
 )
 def _sym_pass_device(
+    row_chunks,  # [num_chunks, chunk_rows] indices into [Nl*KL], -1 = pad
     nbrs,
     translation_l,
     base,
@@ -271,29 +288,21 @@ def _sym_pass_device(
     tau_build,
     *,
     cfg: GraphConfig,
-    layer: int,
     measure: DistanceMeasure,
     use_translation: bool,
-    num_chunks: int,
     pops_per_iter: int,
 ):
-    """The full sym pass over one layer as a single device program."""
-    Nl = cfg.Ns[layer]
+    """The walk+request phase over pre-filtered rows as one device program."""
+    Nl = nbrs.shape[0]
     KL, KF = cfg.KL, cfg.KF
-    chunk = -(-Nl // num_chunks)
-    padded = num_chunks * chunk
 
-    node_chunks = jnp.arange(padded, dtype=jnp.int32).reshape(num_chunks, chunk)
-
-    def step(carry, ids):
+    def step(carry, rows):
         sym_buffer, sym_atomic = carry
-        pad = ids >= Nl
-        ids = jnp.minimum(ids, Nl - 1)
-        # rows = nodes x their KL local neighbors
-        n_rows = jnp.repeat(ids, KL)
-        k_rows = jnp.tile(jnp.arange(KL, dtype=jnp.int32), ids.shape[0])
-        start_rows = nbrs[n_rows, k_rows]
-        row_pad = jnp.repeat(pad, KL) | (start_rows == -1)
+        row_pad = rows == -1
+        rows_safe = jnp.clip(rows, 0, None)
+        n_rows = rows_safe // KL
+        start_rows = nbrs[n_rows, rows_safe % KL]
+        row_pad |= start_rows == -1
         start_rows = jnp.where(start_rows == -1, n_rows, start_rows)
 
         connected, pref = _sym_walk(
@@ -321,7 +330,7 @@ def _sym_pass_device(
         jnp.full((Nl, KF), -1, jnp.int32),
         jnp.zeros((Nl,), jnp.int32),
     )
-    (sym_buffer, sym_atomic), _ = jax.lax.scan(step, init, node_chunks)
+    (sym_buffer, sym_atomic), _ = jax.lax.scan(step, init, row_chunks)
     new_nbrs = _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, KL=KL, KF=KF)
     return new_nbrs, sym_atomic
 
@@ -344,13 +353,27 @@ def sym_pass(
     Returns (new_nbrs, stats dict with overflow/added-links counters matching
     graph_construction.cu:354-378).
     """
+    import numpy as np  # noqa: PLC0415 -- host-side row compaction only
+
     Nl = cfg.Ns[layer]
     KL, KF = cfg.KL, cfg.KF
     use_translation = layer > 0
     trans = translation_l if use_translation else jnp.zeros((0,), jnp.int32)
-    num_chunks = max(1, -(-Nl // chunk_nodes))
+
+    # pre-filter + compact the walk rows (one small D2H per pass)
+    need = np.asarray(_rows_needing_walk(nbrs, KL=KL)).reshape(-1)
+    rows = np.nonzero(need)[0].astype(np.int32)
+
+    chunk_rows = min(chunk_nodes, Nl) * KL
+    num_chunks = max(1, -(-len(rows) // chunk_rows))
+    num_chunks += num_chunks % 2  # even counts bound the compile variety
+    padded = num_chunks * chunk_rows
+    row_chunks = np.full((padded,), -1, np.int32)
+    row_chunks[: len(rows)] = rows
+    row_chunks = jnp.asarray(row_chunks.reshape(num_chunks, chunk_rows))
 
     new_nbrs, sym_atomic = _sym_pass_device(
+        row_chunks,
         nbrs,
         trans,
         base,
@@ -358,10 +381,8 @@ def sym_pass(
         nn1_stats,
         jnp.float32(tau_build),
         cfg=cfg,
-        layer=layer,
         measure=DistanceMeasure(measure),
         use_translation=use_translation,
-        num_chunks=num_chunks,
         pops_per_iter=pops_per_iter,
     )
     atomic_host = jax.device_get(sym_atomic)
@@ -369,5 +390,7 @@ def sym_pass(
         "overflow": int((atomic_host > KF).sum()),
         "added_links": int(jnp.minimum(atomic_host, KF).sum()),
         "N": Nl,
+        "walk_rows": int(len(rows)),
+        "total_rows": int(Nl * KL),
     }
     return new_nbrs, stats

@@ -131,7 +131,14 @@ def ann_query(
     tau = jnp.float32(tau_query)
 
     Q = query.shape[0]
-    chunk = min(chunk, Q)
+    # split Q into evenly-sized chunks (rounded up to 256 rows to bound
+    # compile variety) instead of padding the tail chunk to the full size
+    if Q <= 256:
+        chunk = Q
+    else:
+        num_chunks = max(1, -(-Q // chunk))
+        per = -(-Q // num_chunks)
+        chunk = min(chunk, ((per + 255) // 256) * 256)
     out_i, out_d = [], []
     for start in range(0, Q, chunk):
         q_chunk = query[start : start + chunk]
