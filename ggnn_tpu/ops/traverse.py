@@ -27,7 +27,7 @@ from ggnn_tpu.ops.beam import (
 )
 from ggnn_tpu.ops.distance import dist_gathered
 
-__all__ = ["gather_dists", "seed_beam", "best_first_search"]
+__all__ = ["gather_dists", "seed_beam", "best_first_search", "beam_active"]
 
 
 def gather_dists(
@@ -92,6 +92,7 @@ def best_first_search(
     dynamic_xi: Callable[[BeamState], jax.Array] | None = None,
     pops_per_iter: int = 1,
     fetch_cap_fraction: float = 0.5,
+    warm: bool = False,
 ) -> BeamState:
     """Run the best-first expansion loop until convergence.
 
@@ -117,6 +118,8 @@ def best_first_search(
         simple_knn_cache.cuh:246-261). Survivors beyond the cap are dropped
         (rare; costs a revisit at most). The first two expansions always run
         uncapped: with an empty beam nearly every candidate survives dedup.
+      warm: set when resuming an already-expanded beam (skips the uncapped
+        first expansions).
     """
     K = nbr_table.shape[-1]
     P = max(1, pops_per_iter)
@@ -149,7 +152,7 @@ def best_first_search(
         st, active = step(st, cap)
         return st, it + 1, jnp.any(active)
 
-    if cap < P * K:
+    if cap < P * K and not warm:
         state, _ = step(state, P * K)
         state, _ = step(state, P * K)
         steps = max(0, steps - 2)
@@ -158,3 +161,11 @@ def best_first_search(
         cond, body, (state, jnp.int32(0), jnp.bool_(True))
     )
     return state
+
+
+def beam_active(state: BeamState, k_best: int) -> jax.Array:
+    """Whether the next pop of each row would still fire ([B] bool)."""
+    crit = state.criteria(k_best)
+    return jnp.any(
+        ~state.exp & (state.i != -1) & (state.d < crit[:, None]), axis=-1
+    )

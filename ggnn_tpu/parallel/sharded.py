@@ -26,7 +26,7 @@ from ggnn_tpu.config import DistanceMeasure, GraphConfig
 from ggnn_tpu.graph import Graph
 from ggnn_tpu.ops.distance import dist_block, squared_norms
 from ggnn_tpu.ops.topk import merge_topk
-from ggnn_tpu.query.ann import _query_chunk
+from ggnn_tpu.query.ann import _query_cold
 
 __all__ = ["make_mesh", "stack_shards", "sharded_query", "sharded_bf_query"]
 
@@ -92,7 +92,7 @@ def sharded_query(
     def run(base_s, graph_s, q, tau_s):
         base = base_s[0]
         graph = jax.tree.map(lambda x: x[0], graph_s)
-        ids, dists = _query_chunk(
+        state, _ = _query_cold(
             q,
             graph.neighbors[0],
             graph.translation[cfg.L - 1],
@@ -104,10 +104,11 @@ def sharded_query(
             vis_size=vis_size,
             k_query=KQuery,
             measure=measure,
-            max_iterations=max_iterations,
+            budget=max_iterations,
             pops_per_iter=pops_per_iter,
             fetch_cap_fraction=fetch_cap_fraction,
         )
+        ids, dists = state.best(KQuery)
         return _merge_over_ici(ids, dists, KQuery, n_shard)
 
     return run(base_stack, graph_stack, query, tau)
