@@ -102,12 +102,16 @@ def main():
     qkw = {"pops_per_iter": 8, "fetch_cap_fraction": 0.75}
     best = None
     for tau_query in (0.34, 0.41, 0.51, 0.64, 0.8, 1.0, 1.3):
-        ids, dists = g.query(query, k_query, tau_query, max_iterations, **qkw)
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
+        # two warmups (the relay's first dispatches after a build are slow),
+        # then the median of 5 timed repetitions
+        for _ in range(2):
             ids, dists = g.query(query, k_query, tau_query, max_iterations, **qkw)
-        elapsed = (time.perf_counter() - t0) / reps
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            ids, dists = g.query(query, k_query, tau_query, max_iterations, **qkw)
+            times.append(time.perf_counter() - t0)
+        elapsed = sorted(times)[len(times) // 2]
         ev = evaluator.evaluate_results(ids)
         qps = nq / elapsed
         print(
