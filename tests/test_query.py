@@ -99,3 +99,20 @@ def test_uint8_end_to_end():
     ev = Evaluator(base, query, gt_ids, k_query=10)
     res = ev.evaluate_results(ids)
     assert res.c1 >= 0.85, f"uint8 c@1 too low: {res}"
+
+
+def test_large_k_query_and_device_results(engine, data):
+    g = engine
+    _, query = data
+    # KQuery larger than the default beam geometry exercises the widened beam
+    ids, dists = g.query(query, k_query=100, tau_query=0.7, max_iterations=200)
+    assert ids.shape == (NQ, 100)
+    finite = np.isfinite(dists).all(axis=1)
+    assert np.all(np.diff(dists[finite], axis=1) >= 0)
+    # device-resident results
+    g.set_return_results_on_device()
+    try:
+        ids_dev, dists_dev = g.query(query, 10, tau_query=0.7, max_iterations=100)
+        assert hasattr(ids_dev, "devices")
+    finally:
+        g.set_return_results_on_device(False)
