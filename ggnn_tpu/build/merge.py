@@ -169,12 +169,18 @@ def merge_layer(
 
     Returns (new_neighbors [Ns[layer_btm], KBuild], nn1 [Ns[layer_btm]]).
     """
+    from ggnn_tpu.utils.timing import hard_sync  # noqa: PLC0415
+
     Ns = cfg.Ns[layer_btm]
     chunk = min(chunk, Ns)
     out_rows = []
     out_nn1 = []
     tau = jnp.float32(tau_build)
     for start in range(0, Ns, chunk):
+        if start and (start // chunk) % 8 == 0:
+            # bound the device-work backlog behind any single blocking RPC
+            # (the axon relay kills waits over ~70 s; see utils.hard_sync)
+            hard_sync(out_rows[-1])
         ids = jnp.arange(start, start + chunk, dtype=jnp.int32)
         valid = ids < Ns
         ids = jnp.minimum(ids, Ns - 1)

@@ -45,6 +45,7 @@ from ggnn_tpu.ops.beam import (
     beam_insert,
     beam_pop,
 )
+from ggnn_tpu.utils.timing import hard_sync
 
 __all__ = ["sym_pass"]
 
@@ -277,9 +278,12 @@ def _rows_needing_walk(nbrs, *, KL: int):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "measure", "use_translation", "pops_per_iter"),
+    donate_argnums=(1, 2),
 )
-def _sym_pass_device(
-    row_chunks,  # [num_chunks, chunk_rows] indices into [Nl*KL], -1 = pad
+def _sym_scan_block(
+    row_chunks,  # [group, chunk_rows] indices into [Nl*KL], -1 = pad
+    sym_buffer,
+    sym_atomic,
     nbrs,
     translation_l,
     base,
@@ -292,8 +296,12 @@ def _sym_pass_device(
     use_translation: bool,
     pops_per_iter: int,
 ):
-    """The walk+request phase over pre-filtered rows as one device program."""
-    Nl = nbrs.shape[0]
+    """Walk+request over one group of pre-filtered row chunks.
+
+    Groups are bounded so a single device program stays well under the
+    relay's ~70 s blocking limit (see utils.timing.hard_sync); the
+    (sym_buffer, sym_atomic) request state carries across groups on device.
+    """
     KL, KF = cfg.KL, cfg.KF
 
     def step(carry, rows):
@@ -326,13 +334,10 @@ def _sym_pass_device(
         )
         return (sym_buffer, sym_atomic), None
 
-    init = (
-        jnp.full((Nl, KF), -1, jnp.int32),
-        jnp.zeros((Nl,), jnp.int32),
+    (sym_buffer, sym_atomic), _ = jax.lax.scan(
+        step, (sym_buffer, sym_atomic), row_chunks
     )
-    (sym_buffer, sym_atomic), _ = jax.lax.scan(step, init, row_chunks)
-    new_nbrs = _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, KL=KL, KF=KF)
-    return new_nbrs, sym_atomic
+    return sym_buffer, sym_atomic
 
 
 def sym_pass(
@@ -365,25 +370,37 @@ def sym_pass(
     rows = np.nonzero(need)[0].astype(np.int32)
 
     chunk_rows = min(chunk_nodes, Nl) * KL
+    group = 2  # chunks per device program (bounds each blocking slice)
     num_chunks = max(1, -(-len(rows) // chunk_rows))
-    num_chunks += num_chunks % 2  # even counts bound the compile variety
+    num_chunks = -(-num_chunks // group) * group
     padded = num_chunks * chunk_rows
-    row_chunks = np.full((padded,), -1, np.int32)
-    row_chunks[: len(rows)] = rows
-    row_chunks = jnp.asarray(row_chunks.reshape(num_chunks, chunk_rows))
+    row_all = np.full((padded,), -1, np.int32)
+    row_all[: len(rows)] = rows
+    row_all = row_all.reshape(num_chunks, chunk_rows)
 
-    new_nbrs, sym_atomic = _sym_pass_device(
-        row_chunks,
-        nbrs,
-        trans,
-        base,
-        base_sq,
-        nn1_stats,
-        jnp.float32(tau_build),
-        cfg=cfg,
-        measure=DistanceMeasure(measure),
-        use_translation=use_translation,
-        pops_per_iter=pops_per_iter,
+    sym_buffer = jnp.full((Nl, KF), -1, jnp.int32)
+    sym_atomic = jnp.zeros((Nl,), jnp.int32)
+    tau = jnp.float32(tau_build)
+    for g in range(0, num_chunks, group):
+        sym_buffer, sym_atomic = _sym_scan_block(
+            jnp.asarray(row_all[g : g + group]),
+            sym_buffer,
+            sym_atomic,
+            nbrs,
+            trans,
+            base,
+            base_sq,
+            nn1_stats,
+            tau,
+            cfg=cfg,
+            measure=DistanceMeasure(measure),
+            use_translation=use_translation,
+            pops_per_iter=pops_per_iter,
+        )
+        hard_sync(sym_atomic)
+
+    new_nbrs = _sym_buffer_merge(
+        nbrs, sym_buffer, sym_atomic, KL=cfg.KL, KF=cfg.KF
     )
     atomic_host = jax.device_get(sym_atomic)
     stats = {

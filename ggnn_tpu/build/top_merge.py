@@ -15,8 +15,6 @@ import jax
 import jax.numpy as jnp
 
 from ggnn_tpu.config import DistanceMeasure, GraphConfig
-from ggnn_tpu.ops.distance import squared_norms
-
 __all__ = ["top_merge_layer"]
 
 

@@ -16,7 +16,19 @@ import jax
 
 from ggnn_tpu.utils.logging import vlog
 
-__all__ = ["PhaseTimer"]
+__all__ = ["PhaseTimer", "hard_sync"]
+
+
+def hard_sync(x) -> None:
+    """Force completion of the program producing ``x`` via a 1-element D2H.
+
+    ``jax.block_until_ready`` does not actually wait on some experimental
+    platforms (axon relay), and on those platforms a single blocking transfer
+    that spans more than ~70 s of queued device work gets the worker killed.
+    Long build phases therefore sync in bounded slices through this helper.
+    """
+    leaf = jax.tree.leaves(x)[0]
+    jax.device_get(leaf.ravel()[:1])
 
 
 class PhaseTimer:
