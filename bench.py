@@ -96,10 +96,11 @@ def main():
     evaluator = Evaluator(base, query, gt_ids, k_query=k_query)
 
     # warmup + tau sweep for the C@1 >= 0.9 operating point. The query knobs
-    # are the measured throughput configuration (pops_per_iter=8 shortens the
-    # sequential loop; fetch_cap_fraction=0.75 caps the HBM gather volume
-    # after dedup at negligible recall cost).
-    qkw = {"pops_per_iter": 8, "fetch_cap_fraction": 0.75}
+    # are the measured 262k-scale throughput configuration: expanding 16
+    # anchors per step halves the sequential loop AND improves recall (wider
+    # exploration), and the post-dedup fetch cap of 0.5 halves the HBM
+    # gather volume; the recall cost is recovered by the tau sweep.
+    qkw = {"pops_per_iter": 16, "fetch_cap_fraction": 0.5}
     best = None
     for tau_query in (0.34, 0.41, 0.51, 0.64, 0.8, 1.0, 1.3):
         # two warmups (the relay's first dispatches after a build are slow),
