@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ggnn_tpu.config import DistanceMeasure, GraphConfig, MAX_KQUERY
+from ggnn_tpu.blocks import block_query, build_block_index
+from ggnn_tpu.blocks.layout import load_block_index, save_block_index
 from ggnn_tpu.build.construction import build_graph
 from ggnn_tpu.dataset import Dataset
 from ggnn_tpu.graph import Graph, load_graph_shard, save_graph_shard
@@ -77,6 +79,8 @@ class _Shard:
         self.base_sq = None
         self.graph: Graph | None = None
         self.graph_host: Graph | None = None
+        self.block_index = None
+        self.block_index_host = None
 
     def ensure_base(self):
         if self.base_dev is None:
@@ -89,13 +93,21 @@ class _Shard:
                 raise RuntimeError(f"shard {self.shard_id}: no graph available")
             self.graph = jax.device_put(self.graph_host, self.device)
 
+    def ensure_block_index(self):
+        if self.block_index is None and self.block_index_host is not None:
+            self.block_index = jax.device_put(self.block_index_host, self.device)
+        return self.block_index
+
     def evict(self, keep_host: bool = True):
         """Swap the shard out of HBM (gpu_instance.cu:371-420 analog)."""
         if self.graph is not None and keep_host and self.graph_host is None:
             self.graph_host = jax.device_get(self.graph)
+        if self.block_index is not None and keep_host and self.block_index_host is None:
+            self.block_index_host = jax.device_get(self.block_index)
         self.graph = None
         self.base_dev = None
         self.base_sq = None
+        self.block_index = None
 
 
 class GGNN:
@@ -287,6 +299,33 @@ class GGNN:
         }
         vlog(0, "build completed in %.3f s (wall)", wall)
 
+    def build_block_index(self, block_size: int = 32, k_blk: int = 16) -> None:
+        """Derive the block-native query layout for every shard
+        (ggnn_tpu/blocks/): coherent point blocks + a block-level graph.
+        Requires a built or loaded graph; enables ``query(engine="block")``."""
+        if not self.has_graph():
+            raise RuntimeError("no graph -- call build() or load() first")
+        budget = self._resident_budget()
+        for shard in self._shards:
+            shard.ensure_base()
+            shard.ensure_graph()
+            shard.block_index = build_block_index(
+                shard.base_dev,
+                shard.graph,
+                self._cfg,
+                self._measure,
+                block_size=block_size,
+                k_blk=k_blk,
+            )
+            if len(self._shards) > budget:
+                shard.evict(keep_host=True)
+
+    def has_block_index(self) -> bool:
+        return bool(self._shards) and all(
+            s.block_index is not None or s.block_index_host is not None
+            for s in self._shards
+        )
+
     def _io_pool(self) -> ThreadPoolExecutor:
         """Shared host-IO thread pool (the reference's per-slot io_threads,
         gpu_instance.cuh:153-154: disk/PCIe work off the compute path)."""
@@ -308,6 +347,15 @@ class GGNN:
             save_graph_shard(
                 self._working_dir / f"part_{shard.shard_id}.npz", graph, self._cfg
             )
+            index = (
+                shard.block_index
+                if shard.block_index is not None
+                else shard.block_index_host
+            )
+            if index is not None:
+                save_block_index(
+                    self._working_dir / f"part_{shard.shard_id}.blocks.npz", index
+                )
 
         list(self._io_pool().map(_store_one, self._shards))
 
@@ -322,6 +370,9 @@ class GGNN:
             if cfg.N != self._cfg.N or cfg.KBuild != k_build or cfg.D != self._cfg.D:
                 raise ValueError(f"{path}: incompatible graph geometry")
             shard.graph_host = graph
+            bpath = self._working_dir / f"part_{shard.shard_id}.blocks.npz"
+            if bpath.exists():
+                shard.block_index_host = jax.device_get(load_block_index(bpath))
 
         list(self._io_pool().map(_load_one, self._shards))
         # measure is not stored in the reference either; keep current setting
@@ -345,13 +396,25 @@ class GGNN:
         max_iterations: int = 400,
         measure: DistanceMeasure | None = None,
         *,
+        engine: str = "row",
         pops_per_iter: int = 8,
         fetch_cap_fraction: float = 0.75,
+        block_pops_per_iter: int = 4,
+        block_cap_fraction: float = 0.5,
+        block_max_steps: int | None = None,
+        block_num_seeds: int = 24,
     ) -> Results:
+        """``engine="row"`` walks the point graph (reference semantics);
+        ``engine="block"`` walks the block graph (build_block_index() first)
+        -- same recall targets, multi-KB fetches instead of row gathers."""
         if not self._shards:
             raise RuntimeError("no graph -- call build() or load() first")
         if k_query > MAX_KQUERY:
             raise ValueError(f"k_query={k_query} exceeds {MAX_KQUERY}")
+        if engine not in ("row", "block"):
+            raise ValueError(f"unknown engine {engine!r}")
+        if engine == "block" and not self.has_block_index():
+            raise RuntimeError("no block index -- call build_block_index() first")
         measure = DistanceMeasure(measure) if measure is not None else self._measure
         query = _as_array(query)
         n_shard = self._cfg.N
@@ -382,19 +445,33 @@ class GGNN:
             resident += 1 if shard.graph is not None else 0
             if shard.device not in query_dev_cache:
                 query_dev_cache[shard.device] = jax.device_put(query, shard.device)
-            ids, dists = ann_query(
-                query_dev_cache[shard.device],
-                shard.base_dev,
-                shard.graph,
-                self._cfg,
-                k_query,
-                tau_query,
-                max_iterations,
-                measure,
-                base_sq=shard.base_sq,
-                pops_per_iter=pops_per_iter,
-                fetch_cap_fraction=fetch_cap_fraction,
-            )
+            if engine == "block":
+                ids, dists = block_query(
+                    query_dev_cache[shard.device],
+                    shard.ensure_block_index(),
+                    k_query,
+                    tau_query,
+                    max_iterations,
+                    measure,
+                    pops_per_iter=block_pops_per_iter,
+                    cap_fraction=block_cap_fraction,
+                    max_steps=block_max_steps,
+                    num_seeds=block_num_seeds,
+                )
+            else:
+                ids, dists = ann_query(
+                    query_dev_cache[shard.device],
+                    shard.base_dev,
+                    shard.graph,
+                    self._cfg,
+                    k_query,
+                    tau_query,
+                    max_iterations,
+                    measure,
+                    base_sq=shard.base_sq,
+                    pops_per_iter=pops_per_iter,
+                    fetch_cap_fraction=fetch_cap_fraction,
+                )
             ids = jnp.where(ids >= 0, ids + shard.shard_id * n_shard, ids)
             partials.append((ids, dists))
 
