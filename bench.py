@@ -87,6 +87,7 @@ def main():
 
     t0 = time.perf_counter()
     g.build(k_build=k_build, tau_build=tau_build, refinement_iterations=2)
+    g.build_fused_index()  # quantized-adjacency layout for the query phase
     build_s = time.perf_counter() - t0
     print(f"# build: {build_s:.2f} s ({build_s * 1e6 / n:.2f} us/point)", file=sys.stderr)
 
@@ -95,12 +96,11 @@ def main():
     print(f"# brute force: {time.perf_counter() - gt_t0:.2f} s", file=sys.stderr)
     evaluator = Evaluator(base, query, gt_ids, k_query=k_query)
 
-    # warmup + tau sweep for the C@1 >= 0.9 operating point. The query knobs
-    # are the measured 262k-scale throughput configuration: expanding 16
-    # anchors per step halves the sequential loop AND improves recall (wider
-    # exploration), and the post-dedup fetch cap of 0.5 halves the HBM
-    # gather volume; the recall cost is recovered by the tau sweep.
-    qkw = {"pops_per_iter": 16, "fetch_cap_fraction": 0.5}
+    # warmup + tau sweep for the C@1 >= 0.9 operating point, on the fused
+    # quantized-adjacency engine (ggnn_tpu/query/fused.py): inline uint8
+    # neighbor codes (one contiguous fetch per expanded anchor), dense MXU
+    # rep seeding, exact f32 re-rank.
+    qkw = {"engine": "fused", "pops_per_iter": 8, "num_seeds": 16}
     best = None
     for tau_query in (0.34, 0.41, 0.51, 0.64, 0.8, 1.0, 1.3):
         # two warmups (the relay's first dispatches after a build are slow),

@@ -77,13 +77,22 @@ def _score_blocks(q_vecs, q_sq, cand, index: BlockIndex, measure):
     sq = index.member_sq[safe]  # [B, C, BS]
     ids = index.member_ids[safe]  # [B, C, BS]
 
-    dot = jnp.einsum(
-        "bd,bcsd->bcs",
-        q_vecs,
-        vecs,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    if vecs.dtype == jnp.bfloat16:
+        # MXU-native bf16 x bf16 -> f32 path; squared norms stay f32
+        dot = jnp.einsum(
+            "bd,bcsd->bcs",
+            q_vecs.astype(jnp.bfloat16),
+            vecs,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        dot = jnp.einsum(
+            "bd,bcsd->bcs",
+            q_vecs,
+            vecs,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
     if measure == DistanceMeasure.Euclidean:
         d = jnp.maximum(q_sq[:, None, None] + sq - 2.0 * dot, 0.0)
         d = jnp.where(jnp.isfinite(sq), d, EMPTY_DIST)

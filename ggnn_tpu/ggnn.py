@@ -37,6 +37,12 @@ from ggnn_tpu.graph import Graph, load_graph_shard, save_graph_shard
 from ggnn_tpu.ops.bruteforce import bruteforce_knn
 from ggnn_tpu.ops.distance import squared_norms
 from ggnn_tpu.query.ann import ann_query
+from ggnn_tpu.query.fused import (
+    build_fused_index,
+    fused_query,
+    load_fused_index,
+    save_fused_index,
+)
 from ggnn_tpu.utils.logging import vlog
 
 __all__ = ["GGNN", "Results"]
@@ -81,6 +87,8 @@ class _Shard:
         self.graph_host: Graph | None = None
         self.block_index = None
         self.block_index_host = None
+        self.fused_index = None
+        self.fused_index_host = None
 
     def ensure_base(self):
         if self.base_dev is None:
@@ -98,16 +106,24 @@ class _Shard:
             self.block_index = jax.device_put(self.block_index_host, self.device)
         return self.block_index
 
+    def ensure_fused_index(self):
+        if self.fused_index is None and self.fused_index_host is not None:
+            self.fused_index = jax.device_put(self.fused_index_host, self.device)
+        return self.fused_index
+
     def evict(self, keep_host: bool = True):
         """Swap the shard out of HBM (gpu_instance.cu:371-420 analog)."""
         if self.graph is not None and keep_host and self.graph_host is None:
             self.graph_host = jax.device_get(self.graph)
         if self.block_index is not None and keep_host and self.block_index_host is None:
             self.block_index_host = jax.device_get(self.block_index)
+        if self.fused_index is not None and keep_host and self.fused_index_host is None:
+            self.fused_index_host = jax.device_get(self.fused_index)
         self.graph = None
         self.base_dev = None
         self.base_sq = None
         self.block_index = None
+        self.fused_index = None
 
 
 class GGNN:
@@ -299,7 +315,9 @@ class GGNN:
         }
         vlog(0, "build completed in %.3f s (wall)", wall)
 
-    def build_block_index(self, block_size: int = 32, k_blk: int = 16) -> None:
+    def build_block_index(
+        self, block_size: int = 32, k_blk: int = 16, dtype=None
+    ) -> None:
         """Derive the block-native query layout for every shard
         (ggnn_tpu/blocks/): coherent point blocks + a block-level graph.
         Requires a built or loaded graph; enables ``query(engine="block")``."""
@@ -309,6 +327,7 @@ class GGNN:
         for shard in self._shards:
             shard.ensure_base()
             shard.ensure_graph()
+            kw = {} if dtype is None else {"dtype": dtype}
             shard.block_index = build_block_index(
                 shard.base_dev,
                 shard.graph,
@@ -316,6 +335,7 @@ class GGNN:
                 self._measure,
                 block_size=block_size,
                 k_blk=k_blk,
+                **kw,
             )
             if len(self._shards) > budget:
                 shard.evict(keep_host=True)
@@ -323,6 +343,29 @@ class GGNN:
     def has_block_index(self) -> bool:
         return bool(self._shards) and all(
             s.block_index is not None or s.block_index_host is not None
+            for s in self._shards
+        )
+
+    def build_fused_index(self) -> None:
+        """Derive the quantized-adjacency query layout for every shard
+        (ggnn_tpu/query/fused.py): each point's neighbors' uint8-quantized
+        vectors stored inline, one contiguous fetch per expanded anchor.
+        Enables ``query(engine="fused")`` -- the fastest query path."""
+        if not self.has_graph():
+            raise RuntimeError("no graph -- call build() or load() first")
+        budget = self._resident_budget()
+        for shard in self._shards:
+            shard.ensure_base()
+            shard.ensure_graph()
+            shard.fused_index = build_fused_index(
+                shard.base_dev, shard.graph, self._cfg
+            )
+            if len(self._shards) > budget:
+                shard.evict(keep_host=True)
+
+    def has_fused_index(self) -> bool:
+        return bool(self._shards) and all(
+            s.fused_index is not None or s.fused_index_host is not None
             for s in self._shards
         )
 
@@ -356,6 +399,15 @@ class GGNN:
                 save_block_index(
                     self._working_dir / f"part_{shard.shard_id}.blocks.npz", index
                 )
+            fused = (
+                shard.fused_index
+                if shard.fused_index is not None
+                else shard.fused_index_host
+            )
+            if fused is not None:
+                save_fused_index(
+                    self._working_dir / f"part_{shard.shard_id}.fused.npz", fused
+                )
 
         list(self._io_pool().map(_store_one, self._shards))
 
@@ -373,6 +425,9 @@ class GGNN:
             bpath = self._working_dir / f"part_{shard.shard_id}.blocks.npz"
             if bpath.exists():
                 shard.block_index_host = jax.device_get(load_block_index(bpath))
+            fpath = self._working_dir / f"part_{shard.shard_id}.fused.npz"
+            if fpath.exists():
+                shard.fused_index_host = jax.device_get(load_fused_index(fpath))
 
         list(self._io_pool().map(_load_one, self._shards))
         # measure is not stored in the reference either; keep current setting
@@ -403,18 +458,24 @@ class GGNN:
         block_cap_fraction: float = 0.5,
         block_max_steps: int | None = None,
         block_num_seeds: int = 24,
+        num_seeds: int = 16,
+        rerank: int | None = None,
     ) -> Results:
-        """``engine="row"`` walks the point graph (reference semantics);
-        ``engine="block"`` walks the block graph (build_block_index() first)
-        -- same recall targets, multi-KB fetches instead of row gathers."""
+        """``engine="row"`` walks the point graph gathering f32 rows
+        (reference semantics); ``engine="fused"`` walks the same point graph
+        through the quantized-adjacency layout (build_fused_index() first;
+        fastest); ``engine="block"`` walks the block graph
+        (build_block_index() first)."""
         if not self._shards:
             raise RuntimeError("no graph -- call build() or load() first")
         if k_query > MAX_KQUERY:
             raise ValueError(f"k_query={k_query} exceeds {MAX_KQUERY}")
-        if engine not in ("row", "block"):
+        if engine not in ("row", "block", "fused"):
             raise ValueError(f"unknown engine {engine!r}")
         if engine == "block" and not self.has_block_index():
             raise RuntimeError("no block index -- call build_block_index() first")
+        if engine == "fused" and not self.has_fused_index():
+            raise RuntimeError("no fused index -- call build_fused_index() first")
         measure = DistanceMeasure(measure) if measure is not None else self._measure
         query = _as_array(query)
         n_shard = self._cfg.N
@@ -445,7 +506,21 @@ class GGNN:
             resident += 1 if shard.graph is not None else 0
             if shard.device not in query_dev_cache:
                 query_dev_cache[shard.device] = jax.device_put(query, shard.device)
-            if engine == "block":
+            if engine == "fused":
+                ids, dists = fused_query(
+                    query_dev_cache[shard.device],
+                    shard.ensure_fused_index(),
+                    shard.base_dev,
+                    k_query,
+                    tau_query,
+                    max_iterations,
+                    measure,
+                    base_sq=shard.base_sq,
+                    pops_per_iter=pops_per_iter,
+                    num_seeds=num_seeds,
+                    rerank=rerank,
+                )
+            elif engine == "block":
                 ids, dists = block_query(
                     query_dev_cache[shard.device],
                     shard.ensure_block_index(),

@@ -1,0 +1,375 @@
+"""Quantized-adjacency ANN query: the flagship TPU query engine.
+
+The row engine (ggnn_tpu/query/ann.py) is bound by per-candidate row
+gathers: every expanded anchor triggers KBuild scattered 512-byte fetches,
+which run at ~59 GB/s on v5e (vs 762 GB/s dense). This engine restructures
+the *memory layout*, not the search semantics:
+
+  * ``nbr_codes [N, KBuild, D] uint8`` stores each point's neighbors'
+    vectors inline, quantized per-dimension -- ONE contiguous ~3 KB fetch
+    per popped anchor yields the vectors of ALL its neighbors (multi-KB
+    fetches run at 260-480 GB/s, measured);
+  * neighbor distances come from an MXU dequant-dot
+    (``(q*scale) . codes + q.zero``) -- no per-candidate gather at all;
+  * seeding scores the layer-1 representatives (translation[1], the WRS
+    cluster heads the build already selected) against the query tile in one
+    dense MXU matmul -- replacing the reference's hierarchy descent
+    (query_kernels.cu:149 seeds from translation[L-1]);
+  * the best-first walk itself is the same flagged-beam traversal as the
+    row engine (pop -> expand -> dedup -> insert under ``best + xi``),
+    with the reference's dynamic slack tightening (query_layer.cu:58-63);
+  * a final exact re-rank gathers f32 rows for only the surviving top
+    candidates (~3 rows per returned neighbor instead of thousands).
+
+Quantization is per-dimension affine uint8 (SIFT-style data is uint8
+natively -- the reference's SIFT1B mode); distances during the walk are
+exact distances to the *dequantized* points, so the walk explores the true
+graph geometry with a slightly perturbed metric, and the re-rank restores
+exact ordering.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggnn_tpu.config import DistanceMeasure, GraphConfig
+from ggnn_tpu.graph import Graph
+from ggnn_tpu.ops.beam import (
+    beam_dedup_mask,
+    beam_init,
+    beam_insert,
+    beam_pop,
+)
+from ggnn_tpu.ops.distance import dist_block, squared_norms
+
+__all__ = [
+    "FusedIndex",
+    "build_fused_index",
+    "fused_query",
+    "save_fused_index",
+    "load_fused_index",
+]
+
+EMPTY_ID = -1
+EMPTY_DIST = jnp.inf
+
+
+class FusedIndex(NamedTuple):
+    """Quantized-adjacency index of one shard (device-resident pytree).
+
+    Attributes:
+      nbr_ids: [N, K] i32 -- layer-0 neighbor ids (= graph.neighbors[0]).
+      nbr_codes: [N, K, D] u8 -- the neighbors' quantized vectors, inline.
+      nbr_sq: [N, K] f32 -- squared norms of the dequantized neighbors.
+      scale / zero: [D] f32 -- per-dimension affine dequantization
+        (x_hat = scale * code + zero).
+      rep_ids: [R] i32 -- base ids of the layer-1 representatives (seeds).
+      rep_vecs: [R, D] f32 -- their vectors (dense seeding scan).
+      rep_sq: [R] f32.
+      nn1_stats: [2] f32 -- {mean, max} 1-NN distance (slack scaling).
+    """
+
+    nbr_ids: jax.Array
+    nbr_codes: jax.Array
+    nbr_sq: jax.Array
+    scale: jax.Array
+    zero: jax.Array
+    rep_ids: jax.Array
+    rep_vecs: jax.Array
+    rep_sq: jax.Array
+    nn1_stats: jax.Array
+
+    @property
+    def k_build(self) -> int:
+        return self.nbr_ids.shape[1]
+
+
+def fit_affine_u8(base: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension affine uint8 quantizer fitted on the base."""
+    lo = base.min(axis=0).astype(np.float32)
+    hi = base.max(axis=0).astype(np.float32)
+    scale = np.maximum(hi - lo, 1e-12).astype(np.float32) / 255.0
+    return scale, lo
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _encode_u8(base_f32, scale, zero):
+    c = jnp.round((base_f32 - zero[None, :]) / scale[None, :])
+    return jnp.clip(c, 0.0, 255.0).astype(jnp.uint8)
+
+
+@jax.jit
+def _gather_codes(codes, sq_hat, nbr0):
+    """Build the inline adjacency tables on device."""
+    safe = jnp.clip(nbr0, 0, None)
+    nbr_codes = codes[safe]  # [N, K, D] u8
+    nbr_sq = jnp.where(nbr0 >= 0, sq_hat[safe], jnp.inf)
+    return nbr_codes, nbr_sq
+
+
+def build_fused_index(
+    base: jax.Array,
+    graph: Graph,
+    cfg: GraphConfig,
+) -> FusedIndex:
+    """Derive the quantized-adjacency index from a built shard graph.
+
+    For uint8 bases the codes are the bytes themselves (scale=1, zero=0),
+    matching the reference's native SIFT1B uint8 mode (BaseT=uint8,
+    lib.h:23-75)."""
+    base_np = np.asarray(base)
+    if base_np.dtype == np.uint8:
+        scale = np.ones((base_np.shape[1],), np.float32)
+        zero = np.zeros((base_np.shape[1],), np.float32)
+    else:
+        scale, zero = fit_affine_u8(base_np)
+    scale_j = jnp.asarray(scale)
+    zero_j = jnp.asarray(zero)
+    base_f32 = jnp.asarray(base_np).astype(jnp.float32)
+    codes = _encode_u8(base_f32, scale_j, zero_j)
+    # exact squared norms of the DEQUANTIZED points: the walk's metric
+    x_hat_sq = squared_norms(
+        codes.astype(jnp.float32) * scale_j[None, :] + zero_j[None, :]
+    )
+    nbr0 = graph.neighbors[0]
+    nbr_codes, nbr_sq = _gather_codes(codes, x_hat_sq, nbr0)
+
+    rep_ids = graph.translation[1]
+    rep_vecs = base_f32[rep_ids]
+    return FusedIndex(
+        nbr_ids=nbr0,
+        nbr_codes=nbr_codes,
+        nbr_sq=nbr_sq,
+        scale=scale_j,
+        zero=zero_j,
+        rep_ids=jnp.asarray(rep_ids, jnp.int32),
+        rep_vecs=rep_vecs,
+        rep_sq=squared_norms(rep_vecs),
+        nn1_stats=jnp.asarray(graph.nn1_stats),
+    )
+
+
+def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure):
+    """Distances from each row's query to its anchors' inline neighbors.
+
+    anchors: [B, P] i32 (-1 = empty). Returns (ids [B, P*K], d [B, P*K]).
+    One contiguous [K, D]-byte fetch per anchor -- THE hot memory access.
+    """
+    B, P = anchors.shape
+    K = index.k_build
+    safe = jnp.clip(anchors, 0, None)
+    codes = index.nbr_codes[safe]  # [B, P, K, D] u8
+    ids = index.nbr_ids[safe].reshape(B, P * K)
+    sq = index.nbr_sq[safe].reshape(B, P * K)
+
+    # dot(q, x_hat) = (q * scale) . codes + q . zero
+    qs = (q_vecs * index.scale[None, :]).astype(jnp.bfloat16)
+    dot = jnp.einsum(
+        "bd,bpkd->bpk",
+        qs,
+        codes.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, P * K)
+    dot = dot + (q_vecs @ index.zero)[:, None]
+
+    if measure == DistanceMeasure.Euclidean:
+        d = jnp.maximum(q_sq[:, None] + sq - 2.0 * dot, 0.0)
+    else:  # Cosine (distance.cuh:140-159)
+        norm_sq = q_sq[:, None] * sq
+        ok = norm_sq > 0.0
+        d = jnp.abs(1.0 - dot * jax.lax.rsqrt(jnp.where(ok, norm_sq, 1.0)))
+        d = jnp.where(ok, d, 1.0)
+    bad = (anchors == EMPTY_ID)[:, :, None].repeat(K, axis=-1).reshape(B, P * K) | (
+        ids == EMPTY_ID
+    )
+    d = jnp.where(bad | ~jnp.isfinite(sq), EMPTY_DIST, d)
+    ids = jnp.where(bad, EMPTY_ID, ids)
+    return ids, d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "vis_size", "k_query", "measure", "max_iterations",
+        "pops_per_iter", "num_seeds", "rerank", "cap",
+    ),
+)
+def _fused_query_tile(
+    q_vecs,  # [B, D]
+    index: FusedIndex,
+    base,  # [N, D] original vectors (exact re-rank)
+    base_sq,  # [N]
+    tau_query,
+    *,
+    width: int,
+    vis_size: int,
+    k_query: int,
+    measure: DistanceMeasure,
+    max_iterations: int,
+    pops_per_iter: int,
+    num_seeds: int,
+    rerank: int,
+    cap: int,
+):
+    B, D = q_vecs.shape
+    P = pops_per_iter
+    q_vecs = q_vecs.astype(jnp.float32)
+    q_sq = jnp.sum(q_vecs * q_vecs, axis=-1)
+
+    # dynamic slack (query_layer.cu:48-63): from the max 1-NN distance,
+    # tightened by the current best distance
+    nn1 = index.nn1_stats
+    if measure == DistanceMeasure.Euclidean:
+        xi0 = (nn1[1] * nn1[1]) * tau_query * tau_query
+        dyn = lambda st: jnp.minimum(xi0, st.d[:, 0] * tau_query * tau_query)
+    else:
+        xi0 = nn1[1] * tau_query
+        dyn = lambda st: jnp.minimum(xi0, st.d[:, 0] * tau_query)
+
+    state = beam_init(B, width, xi0, vis_size)
+
+    # --- seed: dense rep scan (one MXU tile), top seeds enter the beam ---
+    seed_d_all = dist_block(
+        q_vecs, index.rep_vecs, measure, q_sq=q_sq, c_sq=index.rep_sq
+    )
+    neg_d, pos = jax.lax.top_k(-seed_d_all, num_seeds)
+    seed_ids = index.rep_ids[pos].astype(jnp.int32)
+    no_crit = jnp.full((B,), EMPTY_DIST, jnp.float32)
+    state = beam_insert(state, seed_ids, -neg_d, criteria=no_crit)
+
+    steps = -(-max_iterations // P)
+
+    def cond(carry):
+        st, it, alive = carry
+        return (it < steps) & alive
+
+    def body(carry):
+        st, it, _ = carry
+        st = st._replace(xi=dyn(st))
+        anchors, active, st = beam_pop(st, P, k_query)
+        ids, d = _code_dists(q_vecs, q_sq, anchors, index, measure)
+        # distances are free here (computed from the inline codes), so the
+        # admission criterion filters BEFORE the expensive dedup/merge: keep
+        # only the best ``cap`` candidates below best+xi, sorted
+        crit = st.criteria(k_query)
+        d = jnp.where((ids != EMPTY_ID) & (d < crit[:, None]), d, EMPTY_DIST)
+        ids = jnp.where(jnp.isfinite(d), ids, EMPTY_ID)
+        if cap < d.shape[1]:
+            d, ids = jax.lax.sort((d, ids), dimension=-1, num_keys=1)
+            d, ids = d[:, :cap], ids[:, :cap]
+        ok = beam_dedup_mask(st, ids)
+        ids = jnp.where(ok, ids, EMPTY_ID)
+        st = beam_insert(st, ids, d, row_mask=active, criteria=crit)
+        return st, it + 1, jnp.any(active)
+
+    state, _, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), jnp.bool_(True))
+    )
+
+    # --- exact re-rank of the top survivors (one small f32 gather) ---
+    R = min(rerank, width)
+    cand = state.i[:, :R]
+    safe = jnp.clip(cand, 0, None)
+    vecs = base[safe].astype(jnp.float32)  # [B, R, D]
+    dot = jnp.einsum(
+        "bd,brd->br", q_vecs, vecs,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    if measure == DistanceMeasure.Euclidean:
+        d = jnp.maximum(q_sq[:, None] + base_sq[safe] - 2.0 * dot, 0.0)
+    else:
+        norm_sq = q_sq[:, None] * base_sq[safe]
+        okn = norm_sq > 0.0
+        d = jnp.abs(1.0 - dot * jax.lax.rsqrt(jnp.where(okn, norm_sq, 1.0)))
+        d = jnp.where(okn, d, 1.0)
+    d = jnp.where(cand == EMPTY_ID, EMPTY_DIST, d)
+    d, i = jax.lax.sort((d, cand), dimension=-1, num_keys=1)
+    return i[:, :k_query], d[:, :k_query]
+
+
+def fused_query(
+    query: jax.Array,
+    index: FusedIndex,
+    base: jax.Array,
+    KQuery: int,
+    tau_query: float,
+    max_iterations: int = 400,
+    measure: DistanceMeasure = DistanceMeasure.Euclidean,
+    *,
+    base_sq: jax.Array | None = None,
+    chunk: int = 8192,
+    pops_per_iter: int = 16,
+    num_seeds: int = 16,
+    rerank: int | None = None,
+    cap: int | None = None,
+    vis_size: int | None = None,
+):
+    """Query one shard through its quantized-adjacency index.
+
+    Same user parameters as the reference query (KQuery, tau_query,
+    max_iterations -- the total anchor-pop budget, ggnn.cuh:144-155).
+
+    Returns (ids [Q, KQuery] i32 shard-local, dists [Q, KQuery] f32 exact),
+    rows sorted ascending.
+    """
+    measure = DistanceMeasure(measure)
+    width, vis_default = GraphConfig.query_beam_geometry(KQuery, max_iterations)
+    if vis_size is None:
+        vis_size = vis_default
+    if base_sq is None:
+        base_sq = squared_norms(base)
+    if rerank is None:
+        rerank = min(width, max(2 * KQuery, 32))
+    if cap is None:
+        # a quarter of the raw tile survives criteria+dedup in steady state;
+        # survivors beyond the cap cost at most a revisit
+        cap = max(64, (max(1, pops_per_iter) * index.k_build) // 4)
+    Q = query.shape[0]
+    if Q == 0:
+        return (
+            jnp.zeros((0, KQuery), jnp.int32),
+            jnp.zeros((0, KQuery), jnp.float32),
+        )
+    tau = jnp.float32(tau_query)
+    num_seeds = min(num_seeds, int(index.rep_ids.shape[0]))
+    outs = []
+    chunk = min(chunk, max(256, 1 << (Q - 1).bit_length()))
+    for lo in range(0, Q, chunk):
+        qc = query[lo : lo + chunk]
+        pad = chunk - qc.shape[0]
+        if pad:
+            qc = jnp.pad(qc, ((0, pad), (0, 0)))
+        i, d = _fused_query_tile(
+            qc, index, base, base_sq, tau,
+            width=width, vis_size=vis_size, k_query=KQuery, measure=measure,
+            max_iterations=max_iterations, pops_per_iter=max(1, pops_per_iter),
+            num_seeds=num_seeds, rerank=rerank, cap=cap,
+        )
+        outs.append((i, d))
+    ids = jnp.concatenate([o[0] for o in outs], axis=0)[:Q]
+    dists = jnp.concatenate([o[1] for o in outs], axis=0)[:Q]
+    return ids, dists
+
+
+def save_fused_index(path: str | Path, index: FusedIndex) -> None:
+    """Persist alongside the graph shard (.npz + JSON header)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    meta = {"k_build": index.k_build, "n": int(index.nbr_ids.shape[0])}
+    np.savez(
+        path,
+        meta=json.dumps(meta),
+        **{k: np.asarray(v) for k, v in index._asdict().items()},
+    )
+
+
+def load_fused_index(path: str | Path) -> FusedIndex:
+    with np.load(Path(path), allow_pickle=False) as f:
+        return FusedIndex(**{k: jnp.asarray(f[k]) for k in FusedIndex._fields})

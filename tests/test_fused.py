@@ -1,0 +1,181 @@
+"""Quantized-adjacency (fused) engine tests: quantizer bounds, layout
+invariants, oracle recall, uint8 bases, persistence, GGNN API."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ggnn_tpu.config import DistanceMeasure, GraphConfig
+from ggnn_tpu.build.construction import build_graph
+from ggnn_tpu.ops.bruteforce import bruteforce_knn
+from ggnn_tpu.query.fused import (
+    FusedIndex,
+    build_fused_index,
+    fit_affine_u8,
+    fused_query,
+    load_fused_index,
+    save_fused_index,
+)
+
+
+def _manifold(rng, n, d=64, d_latent=8, scale=30.0):
+    w = rng.normal(size=(d_latent, d)).astype(np.float32) / np.sqrt(d_latent)
+    z = rng.normal(size=(n, d_latent)).astype(np.float32)
+    return (z @ w * scale + 128.0).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(13)
+    N, D = 4000, 64
+    base = _manifold(rng, N, D)
+    query = _manifold(rng, 200, D)
+    cfg = GraphConfig.create(N=N, D=D, KBuild=16)
+    graph, _ = build_graph(jnp.asarray(base), cfg, 0.5, refinement_iterations=1)
+    index = build_fused_index(jnp.asarray(base), graph, cfg)
+    return base, query, cfg, graph, index
+
+
+def test_quantizer_error_bound():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(500, 32)).astype(np.float32) * 50 + 10
+    scale, zero = fit_affine_u8(x)
+    c = np.clip(np.round((x - zero) / scale), 0, 255).astype(np.uint8)
+    x_hat = c.astype(np.float32) * scale + zero
+    # max error is half a quantization step per dimension
+    assert np.all(np.abs(x - x_hat) <= scale / 2 + 1e-5)
+
+
+def test_index_codes_match_graph(built):
+    """nbr_codes[i, j] is the quantized vector of graph neighbor j of i."""
+    base, _, cfg, graph, index = built
+    nbr0 = np.asarray(graph.neighbors[0])
+    codes = np.clip(
+        np.round((base - np.asarray(index.zero)) / np.asarray(index.scale)),
+        0,
+        255,
+    ).astype(np.uint8)
+    nc = np.asarray(index.nbr_codes)
+    for i in (0, 1234, len(base) - 1):
+        for j in (0, cfg.KBuild - 1):
+            n = nbr0[i, j]
+            if n >= 0:
+                np.testing.assert_array_equal(nc[i, j], codes[n])
+    # rep seeds are the layer-1 translation ids
+    np.testing.assert_array_equal(
+        np.asarray(index.rep_ids), np.asarray(graph.translation[1])
+    )
+
+
+def test_fused_query_recall(built):
+    """Fused traversal + exact re-rank reaches >=95% c@1 (oracle check)."""
+    base, query, cfg, graph, index = built
+    gt_ids, _ = bruteforce_knn(jnp.asarray(base), jnp.asarray(query), 10)
+    gt = np.asarray(gt_ids)
+    ids, dists = fused_query(
+        jnp.asarray(query), index, jnp.asarray(base), 10, 0.64, 200
+    )
+    ids, dists = np.asarray(ids), np.asarray(dists)
+    c1 = np.mean([gt[i, 0] in ids[i] for i in range(len(gt))])
+    assert c1 >= 0.95, f"fused-engine c@1={c1}"
+    for row_i, row_d in zip(ids, dists):
+        filled = row_d[np.isfinite(row_d)]
+        assert np.all(np.diff(filled) >= 0)
+        real = row_i[row_i >= 0]
+        assert len(np.unique(real)) == len(real)
+    # distances are EXACT (re-ranked): spot-check against numpy
+    q0 = query[0]
+    for j in range(3):
+        if ids[0, j] >= 0:
+            exact = float(np.sum((q0 - base[ids[0, j]]) ** 2))
+            assert abs(exact - dists[0, j]) < 1e-2 * max(1.0, exact)
+
+
+def test_fused_query_uint8_base(built):
+    """uint8 bases use their bytes as codes (reference SIFT1B mode)."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(3000, 32)).astype(np.uint8)
+    query = rng.integers(0, 256, size=(100, 32)).astype(np.uint8)
+    cfg = GraphConfig.create(N=3000, D=32, KBuild=16)
+    graph, _ = build_graph(
+        jnp.asarray(base).astype(jnp.float32), cfg, 0.5, refinement_iterations=1
+    )
+    index = build_fused_index(jnp.asarray(base), graph, cfg)
+    assert np.all(np.asarray(index.scale) == 1.0)
+    assert np.all(np.asarray(index.zero) == 0.0)
+    gt_ids, _ = bruteforce_knn(
+        jnp.asarray(base).astype(jnp.float32),
+        jnp.asarray(query).astype(jnp.float32),
+        10,
+    )
+    gt = np.asarray(gt_ids)
+    ids, _ = fused_query(
+        jnp.asarray(query).astype(jnp.float32),
+        index,
+        jnp.asarray(base),
+        10,
+        1.0,
+        200,
+    )
+    ids = np.asarray(ids)
+    c1 = np.mean([gt[i, 0] in ids[i] for i in range(len(gt))])
+    assert c1 >= 0.9, f"uint8 fused c@1={c1}"
+
+
+def test_fused_query_cosine(built):
+    base, query, cfg, graph, _ = built
+    graph_c, _ = build_graph(
+        jnp.asarray(base), cfg, 0.5, refinement_iterations=1,
+        measure=DistanceMeasure.Cosine,
+    )
+    index_c = build_fused_index(jnp.asarray(base), graph_c, cfg)
+    gt_ids, _ = bruteforce_knn(
+        jnp.asarray(base), jnp.asarray(query), 10, DistanceMeasure.Cosine
+    )
+    gt = np.asarray(gt_ids)
+    ids, _ = fused_query(
+        jnp.asarray(query), index_c, jnp.asarray(base), 10, 0.7, 200,
+        DistanceMeasure.Cosine,
+    )
+    ids = np.asarray(ids)
+    c1 = np.mean([gt[i, 0] in ids[i] for i in range(len(gt))])
+    assert c1 >= 0.9, f"cosine fused c@1={c1}"
+
+
+def test_fused_index_roundtrip(tmp_path, built):
+    _, _, _, _, index = built
+    p = tmp_path / "fused_0.npz"
+    save_fused_index(p, index)
+    loaded = load_fused_index(p)
+    for k in FusedIndex._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(index, k)), np.asarray(getattr(loaded, k))
+        )
+
+
+def test_ggnn_api_fused(tmp_path):
+    """GGNN-level: build_fused_index, engine='fused', store/load roundtrip."""
+    from ggnn_tpu import GGNN
+
+    rng = np.random.default_rng(7)
+    base = _manifold(rng, 2048, 32, 6)
+    query = _manifold(rng, 64, 32, 6)
+    g = GGNN()
+    g.set_base(base)
+    g.build(k_build=16, tau_build=0.5, refinement_iterations=1)
+    with pytest.raises(RuntimeError):
+        g.query(query, 10, 0.5, engine="fused")
+    g.build_fused_index()
+    gt_ids, _ = g.bf_query(query, k_gt=10)
+    ids, dists = g.query(query, 10, 1.0, 200, engine="fused")
+    c1 = np.mean([gt_ids[i, 0] in ids[i] for i in range(len(query))])
+    assert c1 >= 0.9
+    g.set_working_directory(tmp_path)
+    g.store()
+    g2 = GGNN()
+    g2.set_base(base)
+    g2.set_working_directory(tmp_path)
+    g2.load(16)
+    assert g2.has_fused_index()
+    ids2, _ = g2.query(query, 10, 1.0, 200, engine="fused")
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
