@@ -27,8 +27,15 @@ from ggnn_tpu.graph import Graph
 from ggnn_tpu.ops.distance import dist_block, squared_norms
 from ggnn_tpu.ops.topk import merge_topk
 from ggnn_tpu.query.ann import _query_cold
+from ggnn_tpu.query.fused import FusedIndex, _fused_query_tile
 
-__all__ = ["make_mesh", "stack_shards", "sharded_query", "sharded_bf_query"]
+__all__ = [
+    "make_mesh",
+    "stack_shards",
+    "sharded_query",
+    "sharded_fused_query",
+    "sharded_bf_query",
+]
 
 AXIS = "shard"
 
@@ -112,6 +119,55 @@ def sharded_query(
         return _merge_over_ici(ids, dists, KQuery, n_shard)
 
     return run(base_stack, graph_stack, query, tau)
+
+
+def sharded_fused_query(
+    mesh: Mesh,
+    base_stack: jax.Array,  # [ndev, N_shard, D]
+    index_stack: FusedIndex,  # leaves stacked along a leading [ndev] axis
+    query: jax.Array,  # [Q, D] replicated
+    KQuery: int,
+    tau_query: float,
+    max_iterations: int = 400,
+    measure: DistanceMeasure = DistanceMeasure.Euclidean,
+    pops_per_iter: int = 16,
+    num_seeds: int = 16,
+):
+    """The fused quantized-adjacency engine sharded across the mesh: every
+    chip walks its own shard's inline-code graph, results merge over ICI."""
+    measure = DistanceMeasure(measure)
+    width, vis_size = GraphConfig.query_beam_geometry(KQuery, max_iterations)
+    n_shard = base_stack.shape[1]
+    k_build = int(index_stack.nbr_ids.shape[2])
+    num_seeds = min(num_seeds, int(index_stack.rep_ids.shape[1]))
+    rerank = min(width, max(2 * KQuery, 32))
+    cap = max(64, (max(1, pops_per_iter) * k_build) // 4)
+    tau = jnp.float32(tau_query)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS),
+            jax.tree.map(lambda _: P(AXIS), index_stack),
+            P(),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def run(base_s, idx_s, q, tau_s):
+        base = base_s[0]
+        idx = jax.tree.map(lambda x: x[0], idx_s)
+        ids, dists = _fused_query_tile(
+            q, idx, base, squared_norms(base), tau_s,
+            width=width, vis_size=vis_size, k_query=KQuery, measure=measure,
+            max_iterations=max_iterations, pops_per_iter=max(1, pops_per_iter),
+            num_seeds=num_seeds, rerank=rerank, cap=cap,
+        )
+        return _merge_over_ici(ids, dists, KQuery, n_shard)
+
+    return run(base_stack, index_stack, query, tau)
 
 
 def sharded_bf_query(
