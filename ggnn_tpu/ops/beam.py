@@ -220,16 +220,17 @@ def beam_pop(
     if row_mask is not None:
         mask &= row_mask[:, None]
 
+    # first-P selection via prefix-sum ranks (cheaper than a sort: the beam
+    # is already ordered, so the first P eligible columns ARE the P best)
     iota = jnp.arange(W, dtype=jnp.int32)[None, :]
-    key = jnp.where(mask, iota, W)
-    pos = jax.lax.sort(key, dimension=-1)[:, :P]  # first P positions
-    valid = pos < W
-    safe_pos = jnp.minimum(pos, W - 1)
-    anchors = jnp.where(valid, jnp.take_along_axis(state.i, safe_pos, axis=-1),
-                        EMPTY_ID)
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # inclusive, 1-based
+    hit = mask & (rank <= P)  # [B, W] the popped positions
+    oh = hit[:, :, None] & (
+        rank[:, :, None] == jnp.arange(1, P + 1, dtype=jnp.int32)[None, None, :]
+    )  # [B, W, P] one-hot by pop order
+    anchors = jnp.sum((state.i + 1)[:, :, None] * oh.astype(jnp.int32), axis=1) - 1
+    valid = anchors != EMPTY_ID
 
-    hit = jnp.any((iota[:, :, None] == pos[:, None, :]) & valid[:, None, :],
-                  axis=-1)  # [B, W]
     evict = hit & (iota >= k_best)
     d = jnp.where(evict, EMPTY_DIST, state.d)
     i = jnp.where(evict, EMPTY_ID, state.i)

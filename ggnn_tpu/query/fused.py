@@ -42,6 +42,7 @@ import numpy as np
 from ggnn_tpu.config import DistanceMeasure, GraphConfig
 from ggnn_tpu.graph import Graph
 from ggnn_tpu.ops.adjacency_pallas import adjacency_dot, adjacency_dot_xla
+from ggnn_tpu.ops.merge_pallas import fused_merge
 from ggnn_tpu.ops.beam import (
     beam_dedup_mask,
     beam_init,
@@ -198,6 +199,7 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure, use_pallas):
     static_argnames=(
         "width", "vis_size", "k_query", "measure", "max_iterations",
         "pops_per_iter", "num_seeds", "rerank", "cap", "use_pallas",
+        "merge_kernel",
     ),
 )
 def _fused_query_tile(
@@ -217,6 +219,7 @@ def _fused_query_tile(
     rerank: int,
     cap: int,
     use_pallas: bool = False,
+    merge_kernel: bool = False,
 ):
     B, D = q_vecs.shape
     P = pops_per_iter
@@ -255,18 +258,37 @@ def _fused_query_tile(
         st = st._replace(xi=dyn(st))
         anchors, active, st = beam_pop(st, P, k_query)
         ids, d = _code_dists(q_vecs, q_sq, anchors, index, measure, use_pallas)
-        # distances are free here (computed from the inline codes), so the
-        # admission criterion filters BEFORE the expensive dedup/merge: keep
-        # only the best ``cap`` candidates below best+xi, sorted
         crit = st.criteria(k_query)
-        d = jnp.where((ids != EMPTY_ID) & (d < crit[:, None]), d, EMPTY_DIST)
-        ids = jnp.where(jnp.isfinite(d), ids, EMPTY_ID)
-        if cap < d.shape[1]:
-            d, ids = jax.lax.sort((d, ids), dimension=-1, num_keys=1)
-            d, ids = d[:, :cap], ids[:, :cap]
-        ok = beam_dedup_mask(st, ids)
-        ids = jnp.where(ok, ids, EMPTY_ID)
-        st = beam_insert(st, ids, d, row_mask=active, criteria=crit)
+        if merge_kernel:
+            # one VMEM-resident kernel: criterion filter + dedup + sorted
+            # merge (ops/merge_pallas.py); no cap truncation needed.
+            # MEASURED SLOWER than the XLA pipeline at B=8192 (7.5 vs 1.3
+            # ms/step): VMEM limits force small row tiles and XLA's fused
+            # sort pipeline is already near VPU-bound -- kept for further
+            # work on packed-key sorting, off by default.
+            ip = jnp.where(st.i == EMPTY_ID, -2, st.i * 2 + st.exp)
+            nd, nip = fused_merge(ids, d, st.d, ip, st.vis, crit)
+            m = active[:, None]
+            st = st._replace(
+                d=jnp.where(m, nd, st.d),
+                i=jnp.where(m, nip >> 1, st.i),
+                exp=jnp.where(m, (nip & 1) == 1, st.exp),
+            )
+        else:
+            # XLA pipeline: distances are free here (computed from the
+            # inline codes), so the admission criterion filters BEFORE the
+            # expensive dedup/merge: keep only the best ``cap`` candidates
+            # below best+xi, sorted
+            d = jnp.where(
+                (ids != EMPTY_ID) & (d < crit[:, None]), d, EMPTY_DIST
+            )
+            ids = jnp.where(jnp.isfinite(d), ids, EMPTY_ID)
+            if cap < d.shape[1]:
+                d, ids = jax.lax.sort((d, ids), dimension=-1, num_keys=1)
+                d, ids = d[:, :cap], ids[:, :cap]
+            ok = beam_dedup_mask(st, ids)
+            ids = jnp.where(ok, ids, EMPTY_ID)
+            st = beam_insert(st, ids, d, row_mask=active, criteria=crit)
         return st, it + 1, jnp.any(active)
 
     state, _, _ = jax.lax.while_loop(
@@ -348,7 +370,11 @@ def fused_query(
     chunk = min(chunk, max(256, 1 << (Q - 1).bit_length()))
     for lo in range(0, Q, chunk):
         qc = query[lo : lo + chunk]
-        pad = chunk - qc.shape[0]
+        # pad the tail chunk only to the next power of two (>= 256), not to
+        # the full chunk: 10k queries run as 8192 + 2048 instead of 8192 +
+        # 8192 -- the lock-step sweep pays for every padded row
+        tgt = max(256, 1 << (qc.shape[0] - 1).bit_length())
+        pad = tgt - qc.shape[0]
         if pad:
             qc = jnp.pad(qc, ((0, pad), (0, 0)))
         i, d = _fused_query_tile(
