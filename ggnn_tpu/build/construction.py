@@ -40,13 +40,20 @@ class _BuildContext:
     """Mutable per-shard construction state (the reference's GraphBuffer +
     Graph pair, graph_buffer.cuh:38-92)."""
 
-    def __init__(self, base, cfg: GraphConfig, measure, tau_build, seed, chunk):
+    def __init__(self, base, cfg: GraphConfig, measure, tau_build, seed, chunk,
+                 quantized_fetch=True):
         self.cfg = cfg
         self.measure = DistanceMeasure(measure)
         self.tau_build = float(tau_build)
         self.base = base
         self.base_sq = squared_norms(base)
         self.chunk = chunk
+        # quantized layer-0 merge fetch (query/fused.py layout); auto-off
+        # when the inline adjacency would not fit comfortably in HBM
+        self.quantized_fetch = bool(quantized_fetch) and (
+            cfg.N * cfg.KBuild * cfg.D <= 6 << 30
+        )
+        self._codes = None
         L = cfg.L
         self.neighbors = [
             jnp.full((cfg.Ns[l], cfg.KBuild), -1, jnp.int32) for l in range(L)
@@ -62,6 +69,33 @@ class _BuildContext:
     def next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _layer0_adjacency(self):
+        """Inline the current layer-0 neighborhoods as quantized code
+        blocks (rebuilt per merge pass -- the read-side graph changes)."""
+        from ggnn_tpu.query.fused import fit_affine_u8, _encode_u8, make_adjacency
+        import numpy as np
+        from ggnn_tpu.ops.distance import squared_norms as _sq
+
+        if self._codes is None:
+            base_np = np.asarray(self.base)
+            if base_np.dtype == np.uint8:
+                scale = np.ones((base_np.shape[1],), np.float32)
+                zero = np.zeros((base_np.shape[1],), np.float32)
+            else:
+                scale, zero = fit_affine_u8(base_np)
+            self._scale = jnp.asarray(scale)
+            self._zero = jnp.asarray(zero)
+            base_f32 = jnp.asarray(base_np).astype(jnp.float32)
+            self._codes = _encode_u8(base_f32, self._scale, self._zero)
+            self._x_hat_sq = _sq(
+                self._codes.astype(jnp.float32) * self._scale[None, :]
+                + self._zero[None, :]
+            )
+        return make_adjacency(
+            self._codes, self._x_hat_sq, self.neighbors[0],
+            self._scale, self._zero,
+        )
 
     # --- schedule steps ---------------------------------------------------
 
@@ -89,6 +123,9 @@ class _BuildContext:
 
     def merge_descend(self, layer_top: int, layer_btm: int):
         name = f"merge[{layer_top}->{layer_btm}]"
+        adj = None
+        if layer_btm == 0 and self.quantized_fetch:
+            adj = self._layer0_adjacency()
         with self.timer.phase(name, self.cfg.Ns[layer_btm]) as r:
             nbrs, nn1 = merge_layer(
                 self.base,
@@ -103,6 +140,8 @@ class _BuildContext:
                 self.measure,
                 self.tau_build,
                 chunk=self.chunk,
+                adj=adj,
+                use_pallas=jax.default_backend() not in ("cpu",),
             )
             self.neighbors[layer_btm] = nbrs
             if layer_btm == 0:
@@ -123,6 +162,10 @@ class _BuildContext:
             r["out"] = sel
 
     def sym(self, layer: int):
+        # NOTE: a quantized-fetch sym path exists (sym_pass(adj=...)) but
+        # measured SLOWER at 65k: the dynamic sym-buffer gather dominates
+        # and the exact path's dedup+compaction already halves the fetch.
+        adj = None
         with self.timer.phase(f"sym[{layer}]", self.cfg.Ns[layer]) as r:
             nbrs, stats = sym_pass(
                 self.base,
@@ -134,6 +177,7 @@ class _BuildContext:
                 layer,
                 self.measure,
                 self.tau_build,
+                adj=adj,
             )
             self.neighbors[layer] = nbrs
             self.sym_stats.append({"layer": layer, **stats})
@@ -172,9 +216,11 @@ def build_graph(
     measure: DistanceMeasure = DistanceMeasure.Euclidean,
     seed: int = 1234,
     chunk: int = 8192,
+    quantized_fetch: bool = True,
 ) -> tuple[Graph, dict]:
     """Build one graph shard. Returns (graph, build stats)."""
-    ctx = _BuildContext(base, cfg, measure, tau_build, seed, chunk)
+    ctx = _BuildContext(base, cfg, measure, tau_build, seed, chunk,
+                        quantized_fetch=quantized_fetch)
     L = cfg.L
 
     # graph_construction.cu:128-140
@@ -207,9 +253,11 @@ def refine_graph(
     tau_build: float,
     measure: DistanceMeasure = DistanceMeasure.Euclidean,
     chunk: int = 8192,
+    quantized_fetch: bool = True,
 ) -> Graph:
     """One extra refinement sweep over an existing graph."""
-    ctx = _BuildContext(base, cfg, measure, tau_build, seed=1234, chunk=chunk)
+    ctx = _BuildContext(base, cfg, measure, tau_build, seed=1234, chunk=chunk,
+                        quantized_fetch=quantized_fetch)
     ctx.neighbors = list(graph.neighbors)
     ctx.selection = list(graph.selection)
     ctx.translation = list(graph.translation)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ggnn_tpu.config import MERGE_MAX_ITERATIONS, DistanceMeasure, GraphConfig
 from ggnn_tpu.ops.beam import beam_init, beam_insert, beam_transform
 from ggnn_tpu.ops.traverse import best_first_search, gather_dists, seed_beam
+from ggnn_tpu.query.fused import fused_best_first
 
 __all__ = ["merge_layer"]
 
@@ -46,7 +47,10 @@ def _top_seg_offset(n, layer_top, layer_btm, cfg: GraphConfig):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "layer_top", "layer_btm", "measure", "pops_per_iter"),
+    static_argnames=(
+        "cfg", "layer_top", "layer_btm", "measure", "pops_per_iter",
+        "use_pallas",
+    ),
 )
 def _merge_chunk(
     n,  # [B] node ids of layer_btm
@@ -58,12 +62,14 @@ def _merge_chunk(
     translation,  # tuple of L translation arrays
     nn1_stats,  # [2]
     tau_build,  # scalar f32
+    adj,  # AdjacencyTables of layer 0 (quantized fetch) or None
     *,
     cfg: GraphConfig,
     layer_top: int,
     layer_btm: int,
     measure: DistanceMeasure,
     pops_per_iter: int = 1,
+    use_pallas: bool = False,
 ):
     B = n.shape[0]
     KBuild = cfg.KBuild
@@ -109,19 +115,36 @@ def _merge_chunk(
                 state, n[:, None], d_own,
                 criteria=jnp.full((B,), jnp.inf, jnp.float32),
             )
-        state = best_first_search(
-            state,
-            q_vecs,
-            q_sq,
-            neighbors[layer],
-            base,
-            base_sq,
-            trans_l,
-            measure,
-            MERGE_MAX_ITERATIONS,
-            k_best=k_best,
-            pops_per_iter=pops_per_iter,
-        )
+        if layer == 0 and adj is not None:
+            # quantized-adjacency fetch: one contiguous code block per
+            # popped anchor instead of per-candidate f32 row gathers --
+            # the fused query engine's layout applied to construction
+            # (the reference's native uint8 mode builds in this metric)
+            state = fused_best_first(
+                state,
+                q_vecs,
+                q_sq,
+                adj,
+                measure,
+                MERGE_MAX_ITERATIONS,
+                k_best=k_best,
+                pops_per_iter=pops_per_iter,
+                use_pallas=use_pallas,
+            )
+        else:
+            state = best_first_search(
+                state,
+                q_vecs,
+                q_sq,
+                neighbors[layer],
+                base,
+                base_sq,
+                trans_l,
+                measure,
+                MERGE_MAX_ITERATIONS,
+                k_best=k_best,
+                pops_per_iter=pops_per_iter,
+            )
 
     # write-out with self-link removal (merge_layer.cu:123-145)
     best_i, best_d = state.best(k_best)  # [B, KBuild+1]
@@ -164,6 +187,8 @@ def merge_layer(
     tau_build: float,
     chunk: int = 8192,
     pops_per_iter: int = 8,
+    adj=None,
+    use_pallas: bool = False,
 ):
     """Rebuild ``layer_btm`` neighborhoods by descending from ``layer_top``.
 
@@ -194,11 +219,13 @@ def merge_layer(
             translation,
             nn1_stats,
             tau,
+            adj,
             cfg=cfg,
             layer_top=layer_top,
             layer_btm=layer_btm,
             measure=DistanceMeasure(measure),
             pops_per_iter=pops_per_iter,
+            use_pallas=use_pallas,
         )
         out_rows.append(rows)
         out_nn1.append(nn1)

@@ -38,6 +38,7 @@ from ggnn_tpu.config import (
     DistanceMeasure,
     GraphConfig,
 )
+from ggnn_tpu.ops.adjacency_pallas import adjacency_dot_xla
 from ggnn_tpu.ops.beam import (
     beam_compact_candidates,
     beam_dedup_mask,
@@ -50,6 +51,16 @@ from ggnn_tpu.utils.timing import hard_sync
 __all__ = ["sym_pass"]
 
 _HALF_EPS = 0.1  # simple_knn_sym_cache.cuh:39
+
+
+def _dists_from_dots(dot, p_sq, cand_sq, measure):
+    """Distance from dot products + norms (the quantized fetch path)."""
+    if measure == DistanceMeasure.Euclidean:
+        return jnp.maximum(p_sq[:, None, None] + cand_sq - 2.0 * dot, 0.0)
+    norm = p_sq[:, None, None] * cand_sq
+    ok = norm > 0.0
+    d = jnp.abs(1.0 - dot * jax.lax.rsqrt(jnp.where(ok, norm, 1.0)))
+    return jnp.where(ok, d, 1.0)
 
 
 def _pair_dists(q, h, q_sq, h_sq, cand_vecs, cand_sq, measure):
@@ -98,6 +109,7 @@ def _sym_walk(
     base_sq,
     nn1_stats,
     tau_build,
+    adj,  # AdjacencyTables of this layer's graph (quantized fetch) or None
     *,
     cfg: GraphConfig,
     measure: DistanceMeasure,
@@ -149,15 +161,55 @@ def _sym_walk(
         safe_anchor = jnp.where(anchors != -1, anchors, 0)
         # candidates = KL local links + KF requested inverse links per anchor
         # (sym_query_layer.cu:98-112)
-        cand = jnp.concatenate(
-            [nbrs[safe_anchor, :KL], sym_buffer[safe_anchor]], axis=-1
-        ).reshape(R, P * KC)
+        cand_local = nbrs[safe_anchor, :KL]  # [R, P, KL]
+        cand_sym = sym_buffer[safe_anchor]  # [R, P, KF]
+        cand = jnp.concatenate([cand_local, cand_sym], axis=-1).reshape(
+            R, P * KC
+        )
         a_ok = jnp.repeat(anchors != -1, KC, axis=-1, total_repeat_length=P * KC)
         found = jnp.any((cand == n[:, None]) & a_ok, axis=-1) & active
         connected = connected | found
 
-        # dedup on ids BEFORE the vector gather, pack survivors left
         usable = a_ok & active[:, None] & ~found[:, None]
+        if adj is not None:
+            # quantized fetch: ONE contiguous code block per popped anchor
+            # covers its KL local links (the first KL adjacency columns);
+            # only the dynamic sym-buffer ids still gather f32 rows. Both
+            # query- and half-point distances come from the same block
+            # (dot with q and with h -- the XLA gather CSEs to one fetch).
+            dot_q = adjacency_dot_xla(
+                q * adj.scale[None, :], anchors, adj.nbr_codes
+            )
+            dot_h = adjacency_dot_xla(
+                h * adj.scale[None, :], anchors, adj.nbr_codes
+            )
+            dot_q = dot_q + (q @ adj.zero)[:, None, None]
+            dot_h = dot_h + (h @ adj.zero)[:, None, None]
+            sq_s = adj.nbr_sq[safe_anchor]  # [R, P, KBuild] (inf = EMPTY)
+            dq_s = _dists_from_dots(dot_q, q_sq, sq_s, measure)[..., :KL]
+            dh_s = _dists_from_dots(dot_h, h_sq, sq_s, measure)[..., :KL]
+
+            dyn = jnp.clip(cand_sym, 0, None).reshape(R, P * KF)
+            vecs_d = base[tr(dyn)].astype(jnp.float32)
+            dq_d, dh_d = _pair_dists(
+                q, h, q_sq, h_sq, vecs_d, base_sq[tr(dyn)], measure
+            )
+            dq = jnp.concatenate(
+                [dq_s, dq_d.reshape(R, P, KF)], axis=-1
+            ).reshape(R, P * KC)
+            dh = jnp.concatenate(
+                [dh_s, dh_d.reshape(R, P, KF)], axis=-1
+            ).reshape(R, P * KC)
+            ok = beam_dedup_mask(st, cand, valid=usable)
+            admitted = jnp.where(
+                ok & (dh < criteria_half[:, None]), cand, -1
+            )
+            st = beam_insert(
+                st, admitted, dq, row_mask=active & ~found, criteria=crit
+            )
+            return st, connected, active & ~found
+
+        # exact path: dedup on ids BEFORE the vector gather, pack left
         ok = beam_dedup_mask(st, cand, valid=usable)
         packed = beam_compact_candidates(cand, ok, cap_now)
 
@@ -290,6 +342,7 @@ def _sym_scan_block(
     base_sq,
     nn1_stats,
     tau_build,
+    adj,
     *,
     cfg: GraphConfig,
     measure: DistanceMeasure,
@@ -323,6 +376,7 @@ def _sym_scan_block(
             base_sq,
             nn1_stats,
             tau_build,
+            adj,
             cfg=cfg,
             measure=measure,
             use_translation=use_translation,
@@ -352,6 +406,7 @@ def sym_pass(
     tau_build: float,
     chunk_nodes: int = 4096,
     pops_per_iter: int = 4,
+    adj=None,
 ):
     """Run the full sym pass on one layer.
 
@@ -392,6 +447,7 @@ def sym_pass(
             base_sq,
             nn1_stats,
             tau,
+            adj,
             cfg=cfg,
             measure=DistanceMeasure(measure),
             use_translation=use_translation,

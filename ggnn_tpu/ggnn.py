@@ -280,7 +280,15 @@ class GGNN:
         tau_build: float,
         refinement_iterations: int = 2,
         measure: DistanceMeasure = DistanceMeasure.Euclidean,
+        *,
+        quantized_fetch: bool = True,
     ) -> None:
+        """Build the search graph over all shards (ggnn.cuh:130-133).
+
+        ``quantized_fetch=False`` forces exact f32 candidate fetches during
+        the layer-0 merge searches (default walks the inline uint8
+        quantized-adjacency layout -- the metric the reference's native
+        uint8 mode builds in; measured recall-neutral and faster)."""
         self._measure = DistanceMeasure(measure)
         self._prepare(k_build)
         budget = self._resident_budget()
@@ -295,6 +303,7 @@ class GGNN:
                 refinement_iterations,
                 self._measure,
                 seed=self._build_seed + shard.shard_id,
+                quantized_fetch=quantized_fetch,
             )
             shard.graph = graph
             stats.append(s)

@@ -52,9 +52,12 @@ from ggnn_tpu.ops.beam import (
 from ggnn_tpu.ops.distance import dist_block, squared_norms
 
 __all__ = [
+    "AdjacencyTables",
     "FusedIndex",
     "build_fused_index",
+    "fused_best_first",
     "fused_query",
+    "make_adjacency",
     "save_fused_index",
     "load_fused_index",
 ]
@@ -158,6 +161,32 @@ def build_fused_index(
     )
 
 
+class AdjacencyTables(NamedTuple):
+    """The quantized-adjacency core shared by the query engine and the
+    construction merge: inline neighbor codes of one graph layer. FusedIndex
+    is a superset (duck-typed: both carry exactly these fields plus extras).
+    """
+
+    nbr_ids: jax.Array  # [N, K] i32
+    nbr_codes: jax.Array  # [N, K, D] u8
+    nbr_sq: jax.Array  # [N, K] f32 (dequantized-norms; inf where EMPTY)
+    scale: jax.Array  # [D] f32
+    zero: jax.Array  # [D] f32
+
+    @property
+    def k_build(self) -> int:
+        return self.nbr_ids.shape[1]
+
+
+def make_adjacency(codes, x_hat_sq, nbr0, scale, zero) -> AdjacencyTables:
+    """Inline the current layer-0 adjacency (one device gather): the build's
+    per-pass equivalent of build_fused_index."""
+    nbr_codes, nbr_sq = _gather_codes(codes, x_hat_sq, nbr0)
+    return AdjacencyTables(
+        nbr_ids=nbr0, nbr_codes=nbr_codes, nbr_sq=nbr_sq, scale=scale, zero=zero
+    )
+
+
 def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure, use_pallas):
     """Distances from each row's query to its anchors' inline neighbors.
 
@@ -192,6 +221,90 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure, use_pallas):
     d = jnp.where(bad | ~jnp.isfinite(sq), EMPTY_DIST, d)
     ids = jnp.where(bad, EMPTY_ID, ids)
     return ids, d
+
+
+def _fused_step(st, q_vecs, q_sq, index, measure, *, k_best, P, cap,
+                use_pallas, merge_kernel):
+    """One pop->fetch->filter->dedup->insert step of the quantized-adjacency
+    walk (shared by the query engine and the construction merge)."""
+    anchors, active, st = beam_pop(st, P, k_best)
+    ids, d = _code_dists(q_vecs, q_sq, anchors, index, measure, use_pallas)
+    crit = st.criteria(k_best)
+    if merge_kernel:
+        # one VMEM-resident kernel: criterion filter + dedup + sorted
+        # merge (ops/merge_pallas.py); no cap truncation needed.
+        # MEASURED SLOWER than the XLA pipeline at B=8192 (7.5 vs 1.3
+        # ms/step): VMEM limits force small row tiles and XLA's fused
+        # sort pipeline is already near VPU-bound -- kept for further
+        # work on packed-key sorting, off by default.
+        ip = jnp.where(st.i == EMPTY_ID, -2, st.i * 2 + st.exp)
+        nd, nip = fused_merge(ids, d, st.d, ip, st.vis, crit)
+        m = active[:, None]
+        st = st._replace(
+            d=jnp.where(m, nd, st.d),
+            i=jnp.where(m, nip >> 1, st.i),
+            exp=jnp.where(m, (nip & 1) == 1, st.exp),
+        )
+    else:
+        # XLA pipeline: distances are free here (computed from the
+        # inline codes), so the admission criterion filters BEFORE the
+        # expensive dedup/merge: keep only the best ``cap`` candidates
+        # below best+xi, sorted
+        d = jnp.where((ids != EMPTY_ID) & (d < crit[:, None]), d, EMPTY_DIST)
+        ids = jnp.where(jnp.isfinite(d), ids, EMPTY_ID)
+        if cap < d.shape[1]:
+            d, ids = jax.lax.sort((d, ids), dimension=-1, num_keys=1)
+            d, ids = d[:, :cap], ids[:, :cap]
+        ok = beam_dedup_mask(st, ids)
+        ids = jnp.where(ok, ids, EMPTY_ID)
+        st = beam_insert(st, ids, d, row_mask=active, criteria=crit)
+    return st, active
+
+
+def fused_best_first(
+    state,
+    q_vecs,
+    q_sq,
+    index,
+    measure: DistanceMeasure,
+    max_iterations: int,
+    k_best: int,
+    pops_per_iter: int = 8,
+    cap: int | None = None,
+    use_pallas: bool | None = None,
+):
+    """Best-first expansion over inline-code adjacency until convergence.
+
+    The construction merge's layer-0 loop (merge_layer.cu:100-121) on the
+    quantized-adjacency layout: same walk semantics as best_first_search
+    (ops/traverse.py) but fetching one contiguous code block per anchor
+    instead of per-candidate f32 rows. Distances are to the dequantized
+    points (the metric the reference's native uint8 mode builds in).
+    """
+    P = max(1, pops_per_iter)
+    if cap is None:
+        cap = max(64, (P * index.k_build) // 4)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    steps = -(-max_iterations // P)
+
+    def cond(carry):
+        st, it, alive = carry
+        return (it < steps) & alive
+
+    def body(carry):
+        st, it, _ = carry
+        st, active = _fused_step(
+            st, q_vecs, q_sq, index, measure,
+            k_best=k_best, P=P, cap=cap,
+            use_pallas=use_pallas, merge_kernel=False,
+        )
+        return st, it + 1, jnp.any(active)
+
+    state, _, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), jnp.bool_(True))
+    )
+    return state
 
 
 @functools.partial(
@@ -256,39 +369,11 @@ def _fused_query_tile(
     def body(carry):
         st, it, _ = carry
         st = st._replace(xi=dyn(st))
-        anchors, active, st = beam_pop(st, P, k_query)
-        ids, d = _code_dists(q_vecs, q_sq, anchors, index, measure, use_pallas)
-        crit = st.criteria(k_query)
-        if merge_kernel:
-            # one VMEM-resident kernel: criterion filter + dedup + sorted
-            # merge (ops/merge_pallas.py); no cap truncation needed.
-            # MEASURED SLOWER than the XLA pipeline at B=8192 (7.5 vs 1.3
-            # ms/step): VMEM limits force small row tiles and XLA's fused
-            # sort pipeline is already near VPU-bound -- kept for further
-            # work on packed-key sorting, off by default.
-            ip = jnp.where(st.i == EMPTY_ID, -2, st.i * 2 + st.exp)
-            nd, nip = fused_merge(ids, d, st.d, ip, st.vis, crit)
-            m = active[:, None]
-            st = st._replace(
-                d=jnp.where(m, nd, st.d),
-                i=jnp.where(m, nip >> 1, st.i),
-                exp=jnp.where(m, (nip & 1) == 1, st.exp),
-            )
-        else:
-            # XLA pipeline: distances are free here (computed from the
-            # inline codes), so the admission criterion filters BEFORE the
-            # expensive dedup/merge: keep only the best ``cap`` candidates
-            # below best+xi, sorted
-            d = jnp.where(
-                (ids != EMPTY_ID) & (d < crit[:, None]), d, EMPTY_DIST
-            )
-            ids = jnp.where(jnp.isfinite(d), ids, EMPTY_ID)
-            if cap < d.shape[1]:
-                d, ids = jax.lax.sort((d, ids), dimension=-1, num_keys=1)
-                d, ids = d[:, :cap], ids[:, :cap]
-            ok = beam_dedup_mask(st, ids)
-            ids = jnp.where(ok, ids, EMPTY_ID)
-            st = beam_insert(st, ids, d, row_mask=active, criteria=crit)
+        st, active = _fused_step(
+            st, q_vecs, q_sq, index, measure,
+            k_best=k_query, P=P, cap=cap,
+            use_pallas=use_pallas, merge_kernel=merge_kernel,
+        )
         return st, it + 1, jnp.any(active)
 
     state, _, _ = jax.lax.while_loop(
