@@ -322,7 +322,10 @@ def block_query(
     chunk = min(chunk, max(256, 1 << (Q - 1).bit_length()))
     for lo in range(0, Q, chunk):
         qc = query[lo : lo + chunk]
-        pad = chunk - qc.shape[0]
+        # tail chunk pads only to the next power of two (>= 256) -- every
+        # padded row costs real work in the lock-step sweep
+        tgt = max(256, 1 << (qc.shape[0] - 1).bit_length())
+        pad = tgt - qc.shape[0]
         if pad:
             qc = jnp.pad(qc, ((0, pad), (0, 0)))
         d, i = _block_query_tile(
