@@ -128,9 +128,14 @@ def main():
             f"c@10={ev.cKQuery:.4f} qps={qps:,.0f}",
             file=sys.stderr,
         )
-        if ev.c1 >= 0.90:
+        if ev.c1 >= 0.90 and (best is None or qps > best["qps"]):
             best = {"tau": tau_query, "iters": iters, "qps": qps, "c1": ev.c1,
                     "c10": ev.cKQuery}
+        # the sweep is ordered cheapest-first; once a config qualifies, any
+        # point with a strictly larger pop budget can only be slower -- but
+        # finish the current budget tier (other taus at the same iters may
+        # qualify with higher QPS before converged-row skipping kicks in)
+        if best is not None and iters > best["iters"]:
             break
     if best is None:
         best = {"tau": None, "iters": None, "qps": 0.0, "c1": ev.c1,

@@ -310,6 +310,116 @@ def _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, *, KL: int, KF: int):
     return nbrs.at[:, KL:].set(out)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "measure", "use_translation")
+)
+def _bulk_filter_chunk(
+    rows,  # [C] indices into [Nl*KL], -1 = pad
+    nbrs,
+    translation_l,
+    base,
+    base_sq,
+    nn1_stats,
+    tau_build,
+    *,
+    cfg: GraphConfig,
+    measure: DistanceMeasure,
+    use_translation: bool,
+):
+    """First-expansion connectivity check for one chunk of mutual-filtered
+    (node, neighbor) rows -- the bulk equivalent of the walk's first step.
+
+    A row (n, s) counts as already connected when some first-expansion
+    candidate t of s -- one the walk would have admitted to its beam, i.e.
+    ``dist_half(t) < dist_half(s)+xi`` and ``dist_q(t) < dist_q(s)+xi``
+    (simple_knn_sym_cache.cuh:423-436) -- already links back to n through its
+    KL local slots (sym_query_layer.cu:87-122 detects exactly these on its
+    early iterations). Rows that pass here skip the walk entirely; the
+    remaining rows first try a *direct* inverse-link request at s (phase ii)
+    and only walk when s is full (phase iii). Returns (connected, dq0, n, s).
+    """
+    KL = cfg.KL
+    row_pad = rows == -1
+    rows_safe = jnp.clip(rows, 0, None)
+    n = rows_safe // KL
+    s = nbrs[n, rows_safe % KL]
+    row_pad |= s == -1
+    s = jnp.where(s == -1, n, s)
+
+    if measure == DistanceMeasure.Euclidean:
+        xi = (nn1_stats[0] * nn1_stats[0]) * tau_build * tau_build
+    else:
+        xi = nn1_stats[0] * tau_build
+
+    def tr(ids):
+        return translation_l[ids] if use_translation else ids
+
+    q = base[tr(n)].astype(jnp.float32)
+    s_vec = base[tr(s)].astype(jnp.float32)
+    h = q + (0.5 - _HALF_EPS) * (s_vec - q)
+    q_sq = jnp.sum(q * q, axis=-1)
+    h_sq = jnp.sum(h * h, axis=-1)
+    dq0, dh0 = _pair_dists(
+        q, h, q_sq, h_sq, s_vec[:, None, :], base_sq[tr(s)][:, None], measure
+    )
+    dq0 = dq0[:, 0]
+    crit_q = dq0 + xi
+    crit_h = dh0[:, 0] + xi
+
+    t = nbrs[s, :KL]  # [C, KL] first-expansion candidates
+    t_ok = (t != -1) & (t != n[:, None])
+    t_safe = jnp.clip(t, 0, None)
+    vecs = base[tr(t_safe)].astype(jnp.float32)
+    dq_t, dh_t = _pair_dists(q, h, q_sq, h_sq, vecs, base_sq[tr(t_safe)], measure)
+    admitted = t_ok & (dh_t < crit_h[:, None]) & (dq_t < crit_q[:, None])
+    back = nbrs[t_safe, :KL]  # [C, KL, KL]
+    connected = jnp.any(
+        (back == n[:, None, None]) & admitted[:, :, None], axis=(1, 2)
+    )
+    return connected | row_pad, dq0, n, s
+
+
+@functools.partial(jax.jit, static_argnames=("KF",), donate_argnums=(4, 5))
+def _bulk_requests(
+    tgt,  # [M] direct targets (the start neighbor s)
+    src,  # [M] requesting nodes n
+    prio,  # [M] f32 priority (distance n->s; closer sources win slots)
+    valid,  # [M] bool
+    sym_buffer,
+    sym_atomic,
+    *,
+    KF: int,
+):
+    """Phase ii: bulk direct inverse-link proposals. Every unconnected
+    (n, s) pair asks its own start neighbor s to host the inverse link;
+    capacity is assigned deterministically by a stable (target, distance)
+    sort -- the sort-based replacement for the reference's first-come
+    atomicAdd race (sym_query_layer.cu:124-141). Returns the updated
+    request state plus the per-row accept mask (rejects walk in phase iii).
+    """
+    M = tgt.shape[0]
+    N = sym_atomic.shape[0]
+    rows = jnp.arange(M, dtype=jnp.int32)
+    t = jnp.where(valid, tgt, N)
+    order = jnp.lexsort((prio, t))
+    sorted_t = t[order]
+    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), sorted_t[:-1]])
+    is_new = sorted_t != prev
+    run_start = jax.lax.cummax(jnp.where(is_new, rows, 0), axis=0)
+    rank = rows - run_start
+    pos = sym_atomic.at[sorted_t].get(mode="fill", fill_value=0) + rank
+    accept_sorted = (sorted_t != N) & (pos < KF)
+    sym_buffer = sym_buffer.at[
+        jnp.where(accept_sorted, sorted_t, N), jnp.where(accept_sorted, pos, 0)
+    ].set(src[order], mode="drop")
+    # attempts count even on overflow (reference atomicAdd semantics)
+    sym_atomic = sym_atomic.at[sorted_t].add(
+        (sorted_t != N).astype(jnp.int32), mode="drop"
+    )
+    accept = jnp.zeros((M,), jnp.bool_).at[order].set(accept_sorted)
+    return sym_buffer, sym_atomic, accept
+
+
 @functools.partial(jax.jit, static_argnames=("KL",))
 def _rows_needing_walk(nbrs, *, KL: int):
     """Which (node, local-neighbor) pairs need a walk at all.
@@ -407,8 +517,24 @@ def sym_pass(
     chunk_nodes: int = 4096,
     pops_per_iter: int = 4,
     adj=None,
+    mode: str = "hybrid",
 ):
     """Run the full sym pass on one layer.
+
+    ``mode="hybrid"`` (default) decomposes the reference's per-pair walks
+    (sym_query_layer.cu:39-145) into three phases, walking only a small
+    residual:
+
+      i.   mutual-link pre-filter (``_rows_needing_walk``): pairs whose
+           neighbor already links back need nothing;
+      ii.  first-expansion connectivity filter + bulk *direct* inverse-link
+           proposals (``_bulk_filter_chunk`` / ``_bulk_requests``): the
+           common case -- ask the start neighbor itself to host the link;
+      iii. walks (``_sym_walk``) only for pairs whose direct target was
+           already full -- the walk's real job is finding a *nearby
+           alternative* host (sym_query_layer.cu:124-141).
+
+    ``mode="walk"`` runs the round-1 behavior: a walk per unconnected pair.
 
     Returns (new_nbrs, stats dict with overflow/added-links counters matching
     graph_construction.cu:354-378).
@@ -420,40 +546,95 @@ def sym_pass(
     use_translation = layer > 0
     trans = translation_l if use_translation else jnp.zeros((0,), jnp.int32)
 
-    # pre-filter + compact the walk rows (one small D2H per pass)
+    # phase i: mutual pre-filter + compact the rows (one small D2H per pass)
     need = np.asarray(_rows_needing_walk(nbrs, KL=KL)).reshape(-1)
     rows = np.nonzero(need)[0].astype(np.int32)
-
-    chunk_rows = min(chunk_nodes, Nl) * KL
-    group = 2  # chunks per device program (bounds each blocking slice)
-    num_chunks = max(1, -(-len(rows) // chunk_rows))
-    num_chunks = -(-num_chunks // group) * group
-    padded = num_chunks * chunk_rows
-    row_all = np.full((padded,), -1, np.int32)
-    row_all[: len(rows)] = rows
-    row_all = row_all.reshape(num_chunks, chunk_rows)
 
     sym_buffer = jnp.full((Nl, KF), -1, jnp.int32)
     sym_atomic = jnp.zeros((Nl,), jnp.int32)
     tau = jnp.float32(tau_build)
-    for g in range(0, num_chunks, group):
-        sym_buffer, sym_atomic = _sym_scan_block(
-            jnp.asarray(row_all[g : g + group]),
+    bulk_connected = 0
+    bulk_accepted = 0
+
+    if mode == "hybrid" and len(rows):
+        # phase ii: chunked first-expansion filter, then one bulk proposal
+        C = 1 << 16
+        num_f_chunks = -(-len(rows) // C)
+        rows_pad = np.full((num_f_chunks * C,), -1, np.int32)
+        rows_pad[: len(rows)] = rows
+        conn_parts, dq0_parts, n_parts, s_parts = [], [], [], []
+        for c in range(num_f_chunks):
+            conn, dq0, n_ids, s_ids = _bulk_filter_chunk(
+                jnp.asarray(rows_pad[c * C : (c + 1) * C]),
+                nbrs,
+                trans,
+                base,
+                base_sq,
+                nn1_stats,
+                tau,
+                cfg=cfg,
+                measure=DistanceMeasure(measure),
+                use_translation=use_translation,
+            )
+            conn_parts.append(conn)
+            dq0_parts.append(dq0)
+            n_parts.append(n_ids)
+            s_parts.append(s_ids)
+            if (c + 1) % 4 == 0:
+                hard_sync(conn)
+        connected = jnp.concatenate(conn_parts)
+        valid = ~connected & (jnp.arange(len(rows_pad)) < len(rows))
+        sym_buffer, sym_atomic, accept = _bulk_requests(
+            jnp.concatenate(s_parts),
+            jnp.concatenate(n_parts),
+            jnp.concatenate(dq0_parts),
+            valid,
             sym_buffer,
             sym_atomic,
-            nbrs,
-            trans,
-            base,
-            base_sq,
-            nn1_stats,
-            tau,
-            adj,
-            cfg=cfg,
-            measure=DistanceMeasure(measure),
-            use_translation=use_translation,
-            pops_per_iter=pops_per_iter,
+            KF=KF,
         )
-        hard_sync(sym_atomic)
+        accept_host = np.asarray(accept)
+        valid_host = np.asarray(valid)
+        bulk_connected = int(np.asarray(connected)[: len(rows)].sum())
+        bulk_accepted = int(accept_host.sum())
+        # phase iii residual: valid rows whose direct target was full
+        rows = rows_pad[valid_host & ~accept_host]
+
+    if len(rows):
+        # pick the walk-program width from a power-of-two ladder so a tiny
+        # residual (the common case in hybrid mode) does not pad up to a
+        # full-size walk program, while the ladder keeps the number of
+        # distinct jit shapes -- each a slow remote compile -- bounded
+        chunk_rows = min(chunk_nodes, Nl) * KL
+        if mode == "hybrid":
+            ladder = max(4096, 1 << (max(1, len(rows)) - 1).bit_length())
+            chunk_rows = min(chunk_rows, ladder)
+        group = 2  # chunks per device program (bounds each blocking slice)
+        num_chunks = max(1, -(-len(rows) // chunk_rows))
+        num_chunks = -(-num_chunks // group) * group
+        padded = num_chunks * chunk_rows
+        row_all = np.full((padded,), -1, np.int32)
+        row_all[: len(rows)] = rows
+        row_all = row_all.reshape(num_chunks, chunk_rows)
+
+        for g in range(0, num_chunks, group):
+            sym_buffer, sym_atomic = _sym_scan_block(
+                jnp.asarray(row_all[g : g + group]),
+                sym_buffer,
+                sym_atomic,
+                nbrs,
+                trans,
+                base,
+                base_sq,
+                nn1_stats,
+                tau,
+                adj,
+                cfg=cfg,
+                measure=DistanceMeasure(measure),
+                use_translation=use_translation,
+                pops_per_iter=pops_per_iter,
+            )
+            hard_sync(sym_atomic)
 
     new_nbrs = _sym_buffer_merge(
         nbrs, sym_buffer, sym_atomic, KL=cfg.KL, KF=cfg.KF
@@ -464,6 +645,8 @@ def sym_pass(
         "added_links": int(jnp.minimum(atomic_host, KF).sum()),
         "N": Nl,
         "walk_rows": int(len(rows)),
+        "bulk_connected": bulk_connected,
+        "bulk_accepted": bulk_accepted,
         "total_rows": int(Nl * KL),
     }
     return new_nbrs, stats

@@ -64,9 +64,18 @@ class Results(tuple):
         return self[1]
 
 
-def _as_array(data) -> np.ndarray:
+def _as_array(data):
+    """Normalize query/base input without forcing a host round-trip.
+
+    Device-resident ``jax.Array``s stay on device (the reference keeps
+    GPU-resident queries on GPU, ggnn.cu:638-641); everything else becomes a
+    host numpy array. float64 is downcast to float32 either way."""
     if isinstance(data, Dataset):
         return data.data
+    if isinstance(data, jax.Array):
+        if data.dtype == jnp.float64:
+            return data.astype(jnp.float32)
+        return data
     arr = np.asarray(data)
     if arr.dtype == np.float64:
         arr = arr.astype(np.float32)
@@ -89,6 +98,19 @@ class _Shard:
         self.block_index_host = None
         self.fused_index = None
         self.fused_index_host = None
+        self.spilled = False  # host cache pushed down to a part_*.npz file
+        self._pending = None  # in-flight io-pool op touching this shard
+
+    @property
+    def resident(self) -> bool:
+        return self.graph is not None
+
+    def wait(self):
+        """Join any in-flight prefetch/evict for this shard
+        (gpu_instance.cu:362-368 waitForPart analog)."""
+        if self._pending is not None:
+            fut, self._pending = self._pending, None
+            fut.result()
 
     def ensure_base(self):
         if self.base_dev is None:
@@ -110,6 +132,16 @@ class _Shard:
         if self.fused_index is None and self.fused_index_host is not None:
             self.fused_index = jax.device_put(self.fused_index_host, self.device)
         return self.fused_index
+
+    def host_cache_bytes(self) -> int:
+        """Host-RAM footprint of the cached graph + derived indexes (the
+        quantity bounded by set_cpu_memory_limit; the reference sizes its
+        pinned CPU graph buffers the same way, gpu_instance.cu:196-227)."""
+        total = 0
+        for tree in (self.graph_host, self.block_index_host, self.fused_index_host):
+            if tree is not None:
+                total += sum(np.asarray(x).nbytes for x in jax.tree.leaves(tree))
+        return total
 
     def evict(self, keep_host: bool = True):
         """Swap the shard out of HBM (gpu_instance.cu:371-420 analog)."""
@@ -285,10 +317,14 @@ class GGNN:
     ) -> None:
         """Build the search graph over all shards (ggnn.cuh:130-133).
 
-        ``quantized_fetch=False`` forces exact f32 candidate fetches during
-        the layer-0 merge searches (default walks the inline uint8
-        quantized-adjacency layout -- the metric the reference's native
-        uint8 mode builds in; measured recall-neutral and faster)."""
+        NOTE: by default (``quantized_fetch=True``) the layer-0 merge
+        searches -- and hence the nn1 statistics stored in the graph -- use
+        a uint8-dequantized metric rather than exact f32, the metric the
+        reference's native uint8 mode builds in (lib.h:23-75). This is
+        measured recall-neutral and faster on well-behaved data; the
+        quantizer range is percentile-clipped against outlier dimensions
+        (query/fused.py:fit_affine_u8). Pass ``quantized_fetch=False`` to
+        force exact f32 candidate fetches throughout."""
         self._measure = DistanceMeasure(measure)
         self._prepare(k_build)
         budget = self._resident_budget()
@@ -308,7 +344,7 @@ class GGNN:
             shard.graph = graph
             stats.append(s)
             if len(self._shards) > budget:
-                shard.evict(keep_host=True)
+                self._evict_shard(shard)
             vlog(
                 0,
                 "shard %d built in %.3f s (%.2f us/point)",
@@ -334,8 +370,8 @@ class GGNN:
             raise RuntimeError("no graph -- call build() or load() first")
         budget = self._resident_budget()
         for shard in self._shards:
-            shard.ensure_base()
-            shard.ensure_graph()
+            shard.wait()
+            self._stage_in(shard)
             kw = {} if dtype is None else {"dtype": dtype}
             shard.block_index = build_block_index(
                 shard.base_dev,
@@ -347,7 +383,7 @@ class GGNN:
                 **kw,
             )
             if len(self._shards) > budget:
-                shard.evict(keep_host=True)
+                self._evict_shard(shard)
 
     def has_block_index(self) -> bool:
         return bool(self._shards) and all(
@@ -364,13 +400,13 @@ class GGNN:
             raise RuntimeError("no graph -- call build() or load() first")
         budget = self._resident_budget()
         for shard in self._shards:
-            shard.ensure_base()
-            shard.ensure_graph()
+            shard.wait()
+            self._stage_in(shard)
             shard.fused_index = build_fused_index(
                 shard.base_dev, shard.graph, self._cfg
             )
             if len(self._shards) > budget:
-                shard.evict(keep_host=True)
+                self._evict_shard(shard)
 
     def has_fused_index(self) -> bool:
         return bool(self._shards) and all(
@@ -388,6 +424,75 @@ class GGNN:
             )
         return self._io_pool_obj
 
+    # --- out-of-core tiers: HBM <-> host RAM <-> disk ----------------------
+    # (the reference's swapOutPart/swapInPart GPU<->pinned-RAM<->part files,
+    # gpu_instance.cu:371-467)
+
+    def _spill_dir(self) -> Path:
+        if self._working_dir is not None:
+            return self._working_dir
+        if getattr(self, "_tmp_spill_dir", None) is None:
+            import tempfile  # noqa: PLC0415
+
+            self._tmp_spill_dir = Path(tempfile.mkdtemp(prefix="ggnn_spill_"))
+        return self._tmp_spill_dir
+
+    def _spill_shard(self, shard: _Shard) -> None:
+        """Push a shard's host cache down to part_*.npz files and free the
+        RAM copy (the disk tier; reference swapOutPart force_to_file path)."""
+        d = self._spill_dir()
+        if shard.graph_host is not None:
+            save_graph_shard(d / f"part_{shard.shard_id}.npz", shard.graph_host, self._cfg)
+        if shard.fused_index_host is not None:
+            save_fused_index(
+                d / f"part_{shard.shard_id}.fused.npz", shard.fused_index_host
+            )
+        if shard.block_index_host is not None:
+            save_block_index(
+                d / f"part_{shard.shard_id}.blocks.npz", shard.block_index_host
+            )
+        shard.graph_host = None
+        shard.fused_index_host = None
+        shard.block_index_host = None
+        shard.spilled = True
+        vlog(1, "shard %d spilled to %s", shard.shard_id, d)
+
+    def _unspill_shard(self, shard: _Shard) -> None:
+        """Reload a spilled shard's host cache from its part files."""
+        d = self._spill_dir()
+        path = d / f"part_{shard.shard_id}.npz"
+        graph, _cfg = load_graph_shard(path)
+        shard.graph_host = graph
+        fpath = d / f"part_{shard.shard_id}.fused.npz"
+        if fpath.exists():
+            shard.fused_index_host = jax.device_get(load_fused_index(fpath))
+        bpath = d / f"part_{shard.shard_id}.blocks.npz"
+        if bpath.exists():
+            shard.block_index_host = jax.device_get(load_block_index(bpath))
+        shard.spilled = False
+
+    def _evict_shard(self, shard: _Shard) -> None:
+        """HBM -> host RAM, then honor set_cpu_memory_limit by spilling to
+        disk when the host graph caches exceed the limit
+        (gpu_instance.cu:196-227 CPU-buffer capacity planning analog)."""
+        shard.evict(keep_host=True)
+        if self._cpu_memory_limit is not None:
+            total = sum(s.host_cache_bytes() for s in self._shards)
+            if total > self._cpu_memory_limit:
+                self._spill_shard(shard)
+
+    def _stage_in(self, shard: _Shard, engine: str | None = None) -> None:
+        """Make a shard HBM-resident: disk -> host RAM if spilled, then
+        host -> device transfers (async H2D; the swapInPart analog)."""
+        if shard.graph is None and shard.graph_host is None and shard.spilled:
+            self._unspill_shard(shard)
+        shard.ensure_base()
+        shard.ensure_graph()
+        if engine == "fused":
+            shard.ensure_fused_index()
+        elif engine == "block":
+            shard.ensure_block_index()
+
     def store(self) -> None:
         if self._working_dir is None:
             raise RuntimeError("set_working_directory() first")
@@ -404,19 +509,23 @@ class GGNN:
                 if shard.block_index is not None
                 else shard.block_index_host
             )
+            bpath = self._working_dir / f"part_{shard.shard_id}.blocks.npz"
             if index is not None:
-                save_block_index(
-                    self._working_dir / f"part_{shard.shard_id}.blocks.npz", index
-                )
+                save_block_index(bpath, index)
+            else:
+                # delete stale sidecars: a rebuilt graph stored without its
+                # derived indexes must not leave an old adjacency on disk
+                bpath.unlink(missing_ok=True)
             fused = (
                 shard.fused_index
                 if shard.fused_index is not None
                 else shard.fused_index_host
             )
+            fpath = self._working_dir / f"part_{shard.shard_id}.fused.npz"
             if fused is not None:
-                save_fused_index(
-                    self._working_dir / f"part_{shard.shard_id}.fused.npz", fused
-                )
+                save_fused_index(fpath, fused)
+            else:
+                fpath.unlink(missing_ok=True)
 
         list(self._io_pool().map(_store_one, self._shards))
 
@@ -431,12 +540,47 @@ class GGNN:
             if cfg.N != self._cfg.N or cfg.KBuild != k_build or cfg.D != self._cfg.D:
                 raise ValueError(f"{path}: incompatible graph geometry")
             shard.graph_host = graph
+            # Sidecar indexes are only trusted if they match the loaded graph:
+            # a stale sidecar from a previous build would otherwise silently
+            # search the wrong adjacency and collapse recall.
             bpath = self._working_dir / f"part_{shard.shard_id}.blocks.npz"
             if bpath.exists():
-                shard.block_index_host = jax.device_get(load_block_index(bpath))
+                block = jax.device_get(load_block_index(bpath))
+                member = np.asarray(block.member_ids)
+                ok = (
+                    int((member >= 0).sum()) == cfg.N
+                    and int(member.max(initial=-1)) < cfg.N
+                    and np.allclose(
+                        np.asarray(block.nn1_stats), np.asarray(graph.nn1_stats)
+                    )
+                )
+                if ok:
+                    shard.block_index_host = block
+                else:
+                    vlog(
+                        0,
+                        "shard %d: stale block index sidecar %s ignored "
+                        "(does not match the loaded graph)",
+                        shard.shard_id,
+                        bpath,
+                    )
             fpath = self._working_dir / f"part_{shard.shard_id}.fused.npz"
             if fpath.exists():
-                shard.fused_index_host = jax.device_get(load_fused_index(fpath))
+                fused = jax.device_get(load_fused_index(fpath))
+                nbr = np.asarray(fused.nbr_ids)
+                ok = nbr.shape == (cfg.N, k_build) and np.array_equal(
+                    nbr, np.asarray(graph.neighbors[0])
+                )
+                if ok:
+                    shard.fused_index_host = fused
+                else:
+                    vlog(
+                        0,
+                        "shard %d: stale fused index sidecar %s ignored "
+                        "(adjacency does not match the loaded graph)",
+                        shard.shard_id,
+                        fpath,
+                    )
 
         list(self._io_pool().map(_load_one, self._shards))
         # measure is not stored in the reference either; keep current setting
@@ -452,6 +596,20 @@ class GGNN:
 
     # --- query (ggnn.cu:278-390) -------------------------------------------
 
+    # engine-specific query kwargs and their defaults: passing one that does
+    # not apply to the selected engine raises instead of being silently
+    # ignored (it almost certainly means a tuning mistake)
+    _ENGINE_KWARGS = {
+        "pops_per_iter": (("row", "fused"), 8),
+        "fetch_cap_fraction": (("row",), 0.75),
+        "num_seeds": (("fused",), 16),
+        "rerank": (("fused",), None),
+        "block_pops_per_iter": (("block",), 4),
+        "block_cap_fraction": (("block",), 0.5),
+        "block_max_steps": (("block",), None),
+        "block_num_seeds": (("block",), 24),
+    }
+
     def query(
         self,
         query,
@@ -461,20 +619,18 @@ class GGNN:
         measure: DistanceMeasure | None = None,
         *,
         engine: str = "row",
-        pops_per_iter: int = 8,
-        fetch_cap_fraction: float = 0.75,
-        block_pops_per_iter: int = 4,
-        block_cap_fraction: float = 0.5,
-        block_max_steps: int | None = None,
-        block_num_seeds: int = 24,
-        num_seeds: int = 16,
-        rerank: int | None = None,
+        **engine_kwargs,
     ) -> Results:
         """``engine="row"`` walks the point graph gathering f32 rows
         (reference semantics); ``engine="fused"`` walks the same point graph
         through the quantized-adjacency layout (build_fused_index() first;
         fastest); ``engine="block"`` walks the block graph
-        (build_block_index() first)."""
+        (build_block_index() first).
+
+        Engine tuning kwargs: ``pops_per_iter`` (row/fused),
+        ``fetch_cap_fraction`` (row), ``num_seeds``/``rerank`` (fused),
+        ``block_pops_per_iter``/``block_cap_fraction``/``block_max_steps``/
+        ``block_num_seeds`` (block)."""
         if not self._shards:
             raise RuntimeError("no graph -- call build() or load() first")
         if k_query > MAX_KQUERY:
@@ -485,12 +641,26 @@ class GGNN:
             raise RuntimeError("no block index -- call build_block_index() first")
         if engine == "fused" and not self.has_fused_index():
             raise RuntimeError("no fused index -- call build_fused_index() first")
+        kw = {}
+        for name, value in engine_kwargs.items():
+            if name not in self._ENGINE_KWARGS:
+                raise TypeError(f"query() got an unexpected keyword {name!r}")
+            engines, _default = self._ENGINE_KWARGS[name]
+            if engine not in engines:
+                raise ValueError(
+                    f"query(engine={engine!r}) does not accept {name!r} "
+                    f"(applies to {'/'.join(engines)})"
+                )
+            kw[name] = value
+        for name, (engines, default) in self._ENGINE_KWARGS.items():
+            if engine in engines and name not in kw:
+                kw[name] = default
         measure = DistanceMeasure(measure) if measure is not None else self._measure
         query = _as_array(query)
         n_shard = self._cfg.N
 
-        budget = self._resident_budget()
-        resident = sum(1 for s in self._shards if s.graph is not None)
+        budget = max(1, self._resident_budget())
+        resident = sum(1 for s in self._shards if s.resident)
 
         # alternate sweep direction per call so the shards left resident by
         # the previous call are used first (process_shards_back_to_front,
@@ -500,19 +670,34 @@ class GGNN:
             order.reverse()
         self._back_to_front = not self._back_to_front
 
+        pool = self._io_pool()
+        evict_futures = []
         partials = []
         query_dev_cache = {}
-        for shard in order:
-            if shard.graph is None and resident >= budget:
-                # out-of-core: rotate shards through HBM
-                for other in self._shards:
-                    if other.graph is not None and other is not shard:
-                        other.evict(keep_host=True)
-                        resident -= 1
+        for i, shard in enumerate(order):
+            shard.wait()  # join any prefetch targeting this shard
+            if not shard.resident:
+                # out-of-core: rotate shards through HBM; eviction (blocking
+                # D2H + possible disk spill) runs on the io pool so the
+                # compute dispatch below is not serialized behind it
+                # (gpu_instance.cu:694-705 overlap analog)
+                while resident >= budget:
+                    victim = next(
+                        (
+                            s
+                            for s in self._shards
+                            if s.resident and s is not shard and s._pending is None
+                        ),
+                        None,
+                    )
+                    if victim is None:
                         break
-            shard.ensure_base()
-            shard.ensure_graph()
-            resident += 1 if shard.graph is not None else 0
+                    resident -= 1
+                    fut = pool.submit(self._evict_shard, victim)
+                    victim._pending = fut
+                    evict_futures.append(fut)
+                resident += 1
+            self._stage_in(shard, engine)  # no-op when already resident
             if shard.device not in query_dev_cache:
                 query_dev_cache[shard.device] = jax.device_put(query, shard.device)
             if engine == "fused":
@@ -525,9 +710,9 @@ class GGNN:
                     max_iterations,
                     measure,
                     base_sq=shard.base_sq,
-                    pops_per_iter=pops_per_iter,
-                    num_seeds=num_seeds,
-                    rerank=rerank,
+                    pops_per_iter=kw["pops_per_iter"],
+                    num_seeds=kw["num_seeds"],
+                    rerank=kw["rerank"],
                 )
             elif engine == "block":
                 ids, dists = block_query(
@@ -537,10 +722,10 @@ class GGNN:
                     tau_query,
                     max_iterations,
                     measure,
-                    pops_per_iter=block_pops_per_iter,
-                    cap_fraction=block_cap_fraction,
-                    max_steps=block_max_steps,
-                    num_seeds=block_num_seeds,
+                    pops_per_iter=kw["block_pops_per_iter"],
+                    cap_fraction=kw["block_cap_fraction"],
+                    max_steps=kw["block_max_steps"],
+                    num_seeds=kw["block_num_seeds"],
                 )
             else:
                 ids, dists = ann_query(
@@ -553,12 +738,21 @@ class GGNN:
                     max_iterations,
                     measure,
                     base_sq=shard.base_sq,
-                    pops_per_iter=pops_per_iter,
-                    fetch_cap_fraction=fetch_cap_fraction,
+                    pops_per_iter=kw["pops_per_iter"],
+                    fetch_cap_fraction=kw["fetch_cap_fraction"],
                 )
             ids = jnp.where(ids >= 0, ids + shard.shard_id * n_shard, ids)
             partials.append((ids, dists))
+            # overlap: prefetch the next non-resident shard (disk -> host ->
+            # HBM) on the io pool while this shard's query computes
+            if i + 1 < len(order):
+                nxt = order[i + 1]
+                if not nxt.resident and nxt._pending is None and resident < budget:
+                    resident += 1  # reserve the slot
+                    nxt._pending = pool.submit(self._stage_in, nxt, engine)
 
+        for fut in evict_futures:
+            fut.result()
         return self._merge_results(partials, k_query)
 
     def bf_query(
@@ -613,13 +807,14 @@ class GGNN:
                 ids = np.stack([np.asarray(p[0]) for p in partials])
                 dists = np.stack([np.asarray(p[1]) for p in partials])
                 # pad partial rows to k entries if a shard returned fewer
-                return Results(*native_merge.merge_topk_partials(ids, dists, k))
+                mids, mdists = native_merge.merge_topk_partials(ids, dists, k)
+                return self._finalize_host(mids, mdists)
         except Exception:
             pass
         ids = np.concatenate([np.asarray(p[0]) for p in partials], axis=1)
         dists = np.concatenate([np.asarray(p[1]) for p in partials], axis=1)
         order = np.argsort(dists, axis=1, kind="stable")[:, :k]
-        return Results(
+        return self._finalize_host(
             np.take_along_axis(ids, order, axis=1),
             np.take_along_axis(dists, order, axis=1),
         )
@@ -628,3 +823,12 @@ class GGNN:
         if self._return_results_on_device:
             return Results(ids, dists)
         return Results(np.asarray(ids), np.asarray(dists))
+
+    def _finalize_host(self, ids: np.ndarray, dists: np.ndarray) -> Results:
+        """Host-merged results: re-upload when device results were requested
+        (set_return_results_on_device applies to the multi-device merge path
+        too; the reference only supports this single-GPU, ggnn.cu:299-306)."""
+        if self._return_results_on_device:
+            dev = self._devices[0]
+            return Results(jax.device_put(ids, dev), jax.device_put(dists, dev))
+        return Results(ids, dists)

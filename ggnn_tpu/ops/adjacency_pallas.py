@@ -63,13 +63,23 @@ def _kernel(anchors_ref, qs_ref, codes_hbm, out_ref, codes_buf, sems, *, QT, P, 
     i = pl.program_id(0)
     nc = pl.num_programs(0)
 
+    # EMPTY (-1) anchors issue no DMA at all: converged rows pop nothing, so
+    # late sweep steps -- where most rows have converged -- stop paying the
+    # per-descriptor cost that bounds this kernel. The skip condition is the
+    # same pure function of the prefetched anchors at issue and wait time, so
+    # start/wait always pair up. (Stale buffer contents for skipped blocks
+    # flow into the matmul; callers mask those lanes via the EMPTY anchor id,
+    # ggnn_tpu/query/fused.py:_code_dists.)
     def issue(chunk, slot):
         base = chunk * G
         for g in range(G):
-            aid = jnp.maximum(anchors_ref[base + g], 0)
-            pltpu.make_async_copy(
-                codes_hbm.at[aid], codes_buf.at[slot, g], sems.at[slot, g]
-            ).start()
+            aid = anchors_ref[base + g]
+
+            @pl.when(aid >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    codes_hbm.at[aid], codes_buf.at[slot, g], sems.at[slot, g]
+                ).start()
 
     @pl.when(i == 0)
     def _():
@@ -82,10 +92,13 @@ def _kernel(anchors_ref, qs_ref, codes_hbm, out_ref, codes_buf, sems, *, QT, P, 
     slot = i % 2
     base = i * G
     for g in range(G):
-        aid = jnp.maximum(anchors_ref[base + g], 0)
-        pltpu.make_async_copy(
-            codes_hbm.at[aid], codes_buf.at[slot, g], sems.at[slot, g]
-        ).wait()
+        aid = anchors_ref[base + g]
+
+        @pl.when(aid >= 0)
+        def _():
+            pltpu.make_async_copy(
+                codes_hbm.at[aid], codes_buf.at[slot, g], sems.at[slot, g]
+            ).wait()
 
     # Mosaic has no direct u8->float cast; widen to i32 first (VPU moves)
     codes = (

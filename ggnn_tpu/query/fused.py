@@ -96,10 +96,22 @@ class FusedIndex(NamedTuple):
         return self.nbr_ids.shape[1]
 
 
-def fit_affine_u8(base: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-dimension affine uint8 quantizer fitted on the base."""
-    lo = base.min(axis=0).astype(np.float32)
-    hi = base.max(axis=0).astype(np.float32)
+def fit_affine_u8(
+    base: np.ndarray, clip_quantile: float = 1e-4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension affine uint8 quantizer fitted on the base.
+
+    The range is clipped at the ``clip_quantile`` tails instead of raw
+    min/max: on heavy-tailed data a single outlier dimension would otherwise
+    inflate the quantization step for every point (values outside the clipped
+    range saturate at 0/255, which costs only those few points accuracy).
+    """
+    if clip_quantile > 0.0 and base.shape[0] > 1000:
+        lo = np.quantile(base, clip_quantile, axis=0).astype(np.float32)
+        hi = np.quantile(base, 1.0 - clip_quantile, axis=0).astype(np.float32)
+    else:
+        lo = base.min(axis=0).astype(np.float32)
+        hi = base.max(axis=0).astype(np.float32)
     scale = np.maximum(hi - lo, 1e-12).astype(np.float32) / 255.0
     return scale, lo
 

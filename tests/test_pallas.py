@@ -21,7 +21,12 @@ def test_adjacency_dot_matches_xla(P):
     ref = np.asarray(adjacency_dot_xla(qs, anchors, codes))
     out = np.asarray(adjacency_dot(qs, anchors, codes, interpret=True))
     assert out.shape == (B, P, K)
-    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-2)
+    # EMPTY (-1) anchors issue no DMA: their output lanes are undefined and
+    # masked by every caller (fused.py:_code_dists), so compare valid only
+    valid = (np.asarray(anchors) >= 0)[:, :, None]
+    np.testing.assert_allclose(
+        np.where(valid, out, 0.0), np.where(valid, ref, 0.0), rtol=1e-5, atol=1e-2
+    )
 
 
 def test_adjacency_dot_unaligned_falls_back():

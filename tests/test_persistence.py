@@ -63,3 +63,84 @@ def test_load_rejects_wrong_kbuild(tmp_path, rng):
     g2.set_working_directory(tmp_path)
     with pytest.raises(ValueError):
         g2.load(k_build=KB * 2)
+
+
+def test_stale_fused_sidecar_ignored_on_load(tmp_path, rng):
+    """A fused sidecar left behind by a previous build must not be trusted
+    when it no longer matches the stored graph (ADVICE round-1, medium)."""
+    base_a = rng.normal(size=(N, D)).astype(np.float32)
+    g = GGNN()
+    g.set_base(base_a)
+    g.set_working_directory(tmp_path)
+    g.build(k_build=KB, tau_build=0.5, refinement_iterations=0)
+    g.build_fused_index()
+    g.store()
+    assert (tmp_path / "part_0.fused.npz").exists()
+    stale = (tmp_path / "part_0.fused.npz").read_bytes()
+
+    # a different base -> different graph; store WITHOUT a fused index
+    base_b = rng.normal(size=(N, D)).astype(np.float32)
+    g2 = GGNN()
+    g2.set_base(base_b)
+    g2.set_working_directory(tmp_path)
+    g2.build(k_build=KB, tau_build=0.5, refinement_iterations=0)
+    g2.store()
+    # store() deletes the sidecar when no fused index exists in memory
+    assert not (tmp_path / "part_0.fused.npz").exists()
+
+    # even if the stale sidecar reappears on disk, load() must reject it
+    (tmp_path / "part_0.fused.npz").write_bytes(stale)
+    g3 = GGNN()
+    g3.set_base(base_b)
+    g3.set_working_directory(tmp_path)
+    g3.load(k_build=KB)
+    assert not g3.has_fused_index()
+
+
+def test_matching_fused_sidecar_survives_roundtrip(tmp_path, rng):
+    base = rng.normal(size=(N, D)).astype(np.float32)
+    query = rng.normal(size=(8, D)).astype(np.float32)
+    g = GGNN()
+    g.set_base(base)
+    g.set_working_directory(tmp_path)
+    g.build(k_build=KB, tau_build=0.5, refinement_iterations=0)
+    g.build_fused_index()
+    ids1, _ = g.query(query, 10, tau_query=0.5, max_iterations=100, engine="fused")
+    g.store()
+    g2 = GGNN()
+    g2.set_base(base)
+    g2.set_working_directory(tmp_path)
+    g2.load(k_build=KB)
+    assert g2.has_fused_index()
+    ids2, _ = g2.query(query, 10, tau_query=0.5, max_iterations=100, engine="fused")
+    np.testing.assert_array_equal(ids1, ids2)
+
+
+def test_cpu_memory_limit_spills_to_disk(tmp_path, rng):
+    """set_cpu_memory_limit bounds the host graph caches; evicted shards
+    spill to part_*.npz and reload transparently (gpu_instance.cu:371-467
+    disk-tier analog)."""
+    base = rng.normal(size=(4 * N, D)).astype(np.float32)
+    query = rng.normal(size=(8, D)).astype(np.float32)
+
+    g = GGNN()
+    g.set_base(base)
+    g.set_shard_size(N)
+    g.set_working_directory(tmp_path)
+    g.set_max_device_shards(1)
+    g.set_cpu_memory_limit(1)  # force every eviction to spill
+    g.build(k_build=KB, tau_build=0.5, refinement_iterations=0)
+    spill_files = sorted(p.name for p in tmp_path.glob("part_*.npz"))
+    assert len(spill_files) >= 3  # evicted shards went to disk
+    # every evicted shard's host cache was released after spilling
+    assert all(s.resident or s.host_cache_bytes() == 0 for s in g._shards)
+
+    ids, dists = g.query(query, 10, tau_query=0.7, max_iterations=100)
+
+    # identical to a fully-resident run
+    g2 = GGNN()
+    g2.set_base(base)
+    g2.set_shard_size(N)
+    g2.build(k_build=KB, tau_build=0.5, refinement_iterations=0)
+    ids2, _ = g2.query(query, 10, tau_query=0.7, max_iterations=100)
+    np.testing.assert_array_equal(ids, ids2)
