@@ -287,7 +287,7 @@ def _insert_requests(
         # attempts count even on overflow (reference atomicAdd semantics)
         sym_atomic = sym_atomic.at[tgt].add(valid.astype(jnp.int32), mode="drop")
         assigned = assigned | accept
-    return sym_buffer, sym_atomic
+    return sym_buffer, sym_atomic, assigned
 
 
 def _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, *, KL: int, KF: int):
@@ -376,47 +376,51 @@ def _bulk_filter_chunk(
     connected = jnp.any(
         (back == n[:, None, None]) & admitted[:, :, None], axis=(1, 2)
     )
-    return connected | row_pad, dq0, n, s
+
+    # preference list: s plus the admitted first-expansion candidates, the
+    # KF nearest to n first -- the bulk analog of the walk's KF-best on-path
+    # host list (sym_query_layer.cu:124-129). Rows whose whole list is full
+    # are the only ones that still walk.
+    KF = cfg.KF
+    cand = jnp.concatenate([s[:, None], t], axis=1)  # [C, 1+KL]
+    cand_d = jnp.concatenate([dq0[:, None], dq_t], axis=1)
+    cand_ok = jnp.concatenate([~row_pad[:, None], admitted], axis=1)
+    cand_d = jnp.where(cand_ok, cand_d, jnp.inf)
+    cand = jnp.where(cand_ok, cand, -1)
+    cand_d, pref = jax.lax.sort((cand_d, cand), dimension=-1, num_keys=1)
+    return connected | row_pad, dq0, n, s, pref[:, :KF]
 
 
-@functools.partial(jax.jit, static_argnames=("KF",), donate_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnames=("KF",), donate_argnums=(3, 4))
 def _bulk_requests(
-    tgt,  # [M] direct targets (the start neighbor s)
+    pref,  # [M, KF] per-row host preference lists (-1 = empty)
     src,  # [M] requesting nodes n
     prio,  # [M] f32 priority (distance n->s; closer sources win slots)
-    valid,  # [M] bool
     sym_buffer,
     sym_atomic,
+    need,  # [M] bool -- rows that want an inverse link
     *,
     KF: int,
 ):
-    """Phase ii: bulk direct inverse-link proposals. Every unconnected
-    (n, s) pair asks its own start neighbor s to host the inverse link;
-    capacity is assigned deterministically by a stable (target, distance)
-    sort -- the sort-based replacement for the reference's first-come
-    atomicAdd race (sym_query_layer.cu:124-141). Returns the updated
-    request state plus the per-row accept mask (rejects walk in phase iii).
-    """
-    M = tgt.shape[0]
-    N = sym_atomic.shape[0]
-    rows = jnp.arange(M, dtype=jnp.int32)
-    t = jnp.where(valid, tgt, N)
-    order = jnp.lexsort((prio, t))
-    sorted_t = t[order]
-    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), sorted_t[:-1]])
-    is_new = sorted_t != prev
-    run_start = jax.lax.cummax(jnp.where(is_new, rows, 0), axis=0)
-    rank = rows - run_start
-    pos = sym_atomic.at[sorted_t].get(mode="fill", fill_value=0) + rank
-    accept_sorted = (sorted_t != N) & (pos < KF)
-    sym_buffer = sym_buffer.at[
-        jnp.where(accept_sorted, sorted_t, N), jnp.where(accept_sorted, pos, 0)
-    ].set(src[order], mode="drop")
-    # attempts count even on overflow (reference atomicAdd semantics)
-    sym_atomic = sym_atomic.at[sorted_t].add(
-        (sorted_t != N).astype(jnp.int32), mode="drop"
+    """Phase ii: bulk inverse-link proposals down per-row preference lists.
+
+    Rows are processed in ascending-priority order (nearest sources claim
+    slots first -- the deterministic replacement for the reference's
+    first-come atomicAdd race, sym_query_layer.cu:124-141); each row tries
+    its preference hosts in order until one has capacity. Returns the
+    updated request state plus the per-row accept mask (rejects walk in
+    phase iii)."""
+    M = pref.shape[0]
+    order = jnp.argsort(jnp.where(need, prio, jnp.inf))
+    sym_buffer, sym_atomic, assigned = _insert_requests(
+        pref[order],
+        src[order],
+        need[order],
+        sym_buffer,
+        sym_atomic,
+        KF=KF,
     )
-    accept = jnp.zeros((M,), jnp.bool_).at[order].set(accept_sorted)
+    accept = jnp.zeros((M,), jnp.bool_).at[order].set(assigned & need[order])
     return sym_buffer, sym_atomic, accept
 
 
@@ -493,7 +497,7 @@ def _sym_scan_block(
             pops_per_iter=pops_per_iter,
         )
         need = ~connected & ~row_pad
-        sym_buffer, sym_atomic = _insert_requests(
+        sym_buffer, sym_atomic, _ = _insert_requests(
             pref, n_rows, need, sym_buffer, sym_atomic, KF=KF
         )
         return (sym_buffer, sym_atomic), None
@@ -562,9 +566,9 @@ def sym_pass(
         num_f_chunks = -(-len(rows) // C)
         rows_pad = np.full((num_f_chunks * C,), -1, np.int32)
         rows_pad[: len(rows)] = rows
-        conn_parts, dq0_parts, n_parts, s_parts = [], [], [], []
+        conn_parts, dq0_parts, n_parts, pref_parts = [], [], [], []
         for c in range(num_f_chunks):
-            conn, dq0, n_ids, s_ids = _bulk_filter_chunk(
+            conn, dq0, n_ids, _s_ids, pref = _bulk_filter_chunk(
                 jnp.asarray(rows_pad[c * C : (c + 1) * C]),
                 nbrs,
                 trans,
@@ -579,18 +583,18 @@ def sym_pass(
             conn_parts.append(conn)
             dq0_parts.append(dq0)
             n_parts.append(n_ids)
-            s_parts.append(s_ids)
+            pref_parts.append(pref)
             if (c + 1) % 4 == 0:
                 hard_sync(conn)
         connected = jnp.concatenate(conn_parts)
         valid = ~connected & (jnp.arange(len(rows_pad)) < len(rows))
         sym_buffer, sym_atomic, accept = _bulk_requests(
-            jnp.concatenate(s_parts),
+            jnp.concatenate(pref_parts),
             jnp.concatenate(n_parts),
             jnp.concatenate(dq0_parts),
-            valid,
             sym_buffer,
             sym_atomic,
+            valid,
             KF=KF,
         )
         accept_host = np.asarray(accept)

@@ -29,8 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ggnn_tpu.config import DistanceMeasure, GraphConfig, MAX_KQUERY
-from ggnn_tpu.blocks import block_query, build_block_index
-from ggnn_tpu.blocks.layout import load_block_index, save_block_index
 from ggnn_tpu.build.construction import build_graph
 from ggnn_tpu.dataset import Dataset
 from ggnn_tpu.graph import Graph, load_graph_shard, save_graph_shard
@@ -94,8 +92,6 @@ class _Shard:
         self.base_sq = None
         self.graph: Graph | None = None
         self.graph_host: Graph | None = None
-        self.block_index = None
-        self.block_index_host = None
         self.fused_index = None
         self.fused_index_host = None
         self.spilled = False  # host cache pushed down to a part_*.npz file
@@ -123,11 +119,6 @@ class _Shard:
                 raise RuntimeError(f"shard {self.shard_id}: no graph available")
             self.graph = jax.device_put(self.graph_host, self.device)
 
-    def ensure_block_index(self):
-        if self.block_index is None and self.block_index_host is not None:
-            self.block_index = jax.device_put(self.block_index_host, self.device)
-        return self.block_index
-
     def ensure_fused_index(self):
         if self.fused_index is None and self.fused_index_host is not None:
             self.fused_index = jax.device_put(self.fused_index_host, self.device)
@@ -138,7 +129,7 @@ class _Shard:
         quantity bounded by set_cpu_memory_limit; the reference sizes its
         pinned CPU graph buffers the same way, gpu_instance.cu:196-227)."""
         total = 0
-        for tree in (self.graph_host, self.block_index_host, self.fused_index_host):
+        for tree in (self.graph_host, self.fused_index_host):
             if tree is not None:
                 total += sum(np.asarray(x).nbytes for x in jax.tree.leaves(tree))
         return total
@@ -147,14 +138,11 @@ class _Shard:
         """Swap the shard out of HBM (gpu_instance.cu:371-420 analog)."""
         if self.graph is not None and keep_host and self.graph_host is None:
             self.graph_host = jax.device_get(self.graph)
-        if self.block_index is not None and keep_host and self.block_index_host is None:
-            self.block_index_host = jax.device_get(self.block_index)
         if self.fused_index is not None and keep_host and self.fused_index_host is None:
             self.fused_index_host = jax.device_get(self.fused_index)
         self.graph = None
         self.base_dev = None
         self.base_sq = None
-        self.block_index = None
         self.fused_index = None
 
 
@@ -360,42 +348,13 @@ class GGNN:
         }
         vlog(0, "build completed in %.3f s (wall)", wall)
 
-    def build_block_index(
-        self, block_size: int = 32, k_blk: int = 16, dtype=None
-    ) -> None:
-        """Derive the block-native query layout for every shard
-        (ggnn_tpu/blocks/): coherent point blocks + a block-level graph.
-        Requires a built or loaded graph; enables ``query(engine="block")``."""
-        if not self.has_graph():
-            raise RuntimeError("no graph -- call build() or load() first")
-        budget = self._resident_budget()
-        for shard in self._shards:
-            shard.wait()
-            self._stage_in(shard)
-            kw = {} if dtype is None else {"dtype": dtype}
-            shard.block_index = build_block_index(
-                shard.base_dev,
-                shard.graph,
-                self._cfg,
-                self._measure,
-                block_size=block_size,
-                k_blk=k_blk,
-                **kw,
-            )
-            if len(self._shards) > budget:
-                self._evict_shard(shard)
-
-    def has_block_index(self) -> bool:
-        return bool(self._shards) and all(
-            s.block_index is not None or s.block_index_host is not None
-            for s in self._shards
-        )
-
-    def build_fused_index(self) -> None:
+    def build_fused_index(self, group: int = 1) -> None:
         """Derive the quantized-adjacency query layout for every shard
         (ggnn_tpu/query/fused.py): each point's neighbors' uint8-quantized
         vectors stored inline, one contiguous fetch per expanded anchor.
-        Enables ``query(engine="fused")`` -- the fastest query path."""
+        ``group=2`` pairs graph-nearest nodes so one fetch serves both
+        (fewer, larger DMAs). Enables ``query(engine="fused")`` -- the
+        fastest query path."""
         if not self.has_graph():
             raise RuntimeError("no graph -- call build() or load() first")
         budget = self._resident_budget()
@@ -403,7 +362,7 @@ class GGNN:
             shard.wait()
             self._stage_in(shard)
             shard.fused_index = build_fused_index(
-                shard.base_dev, shard.graph, self._cfg
+                shard.base_dev, shard.graph, self._cfg, group=group
             )
             if len(self._shards) > budget:
                 self._evict_shard(shard)
@@ -447,13 +406,8 @@ class GGNN:
             save_fused_index(
                 d / f"part_{shard.shard_id}.fused.npz", shard.fused_index_host
             )
-        if shard.block_index_host is not None:
-            save_block_index(
-                d / f"part_{shard.shard_id}.blocks.npz", shard.block_index_host
-            )
         shard.graph_host = None
         shard.fused_index_host = None
-        shard.block_index_host = None
         shard.spilled = True
         vlog(1, "shard %d spilled to %s", shard.shard_id, d)
 
@@ -466,9 +420,6 @@ class GGNN:
         fpath = d / f"part_{shard.shard_id}.fused.npz"
         if fpath.exists():
             shard.fused_index_host = jax.device_get(load_fused_index(fpath))
-        bpath = d / f"part_{shard.shard_id}.blocks.npz"
-        if bpath.exists():
-            shard.block_index_host = jax.device_get(load_block_index(bpath))
         shard.spilled = False
 
     def _evict_shard(self, shard: _Shard) -> None:
@@ -490,8 +441,6 @@ class GGNN:
         shard.ensure_graph()
         if engine == "fused":
             shard.ensure_fused_index()
-        elif engine == "block":
-            shard.ensure_block_index()
 
     def store(self) -> None:
         if self._working_dir is None:
@@ -504,18 +453,6 @@ class GGNN:
             save_graph_shard(
                 self._working_dir / f"part_{shard.shard_id}.npz", graph, self._cfg
             )
-            index = (
-                shard.block_index
-                if shard.block_index is not None
-                else shard.block_index_host
-            )
-            bpath = self._working_dir / f"part_{shard.shard_id}.blocks.npz"
-            if index is not None:
-                save_block_index(bpath, index)
-            else:
-                # delete stale sidecars: a rebuilt graph stored without its
-                # derived indexes must not leave an old adjacency on disk
-                bpath.unlink(missing_ok=True)
             fused = (
                 shard.fused_index
                 if shard.fused_index is not None
@@ -525,6 +462,8 @@ class GGNN:
             if fused is not None:
                 save_fused_index(fpath, fused)
             else:
+                # delete stale sidecars: a rebuilt graph stored without its
+                # derived index must not leave an old adjacency on disk
                 fpath.unlink(missing_ok=True)
 
         list(self._io_pool().map(_store_one, self._shards))
@@ -543,34 +482,17 @@ class GGNN:
             # Sidecar indexes are only trusted if they match the loaded graph:
             # a stale sidecar from a previous build would otherwise silently
             # search the wrong adjacency and collapse recall.
-            bpath = self._working_dir / f"part_{shard.shard_id}.blocks.npz"
-            if bpath.exists():
-                block = jax.device_get(load_block_index(bpath))
-                member = np.asarray(block.member_ids)
-                ok = (
-                    int((member >= 0).sum()) == cfg.N
-                    and int(member.max(initial=-1)) < cfg.N
-                    and np.allclose(
-                        np.asarray(block.nn1_stats), np.asarray(graph.nn1_stats)
-                    )
-                )
-                if ok:
-                    shard.block_index_host = block
-                else:
-                    vlog(
-                        0,
-                        "shard %d: stale block index sidecar %s ignored "
-                        "(does not match the loaded graph)",
-                        shard.shard_id,
-                        bpath,
-                    )
             fpath = self._working_dir / f"part_{shard.shard_id}.fused.npz"
             if fpath.exists():
-                fused = jax.device_get(load_fused_index(fpath))
-                nbr = np.asarray(fused.nbr_ids)
-                ok = nbr.shape == (cfg.N, k_build) and np.array_equal(
-                    nbr, np.asarray(graph.neighbors[0])
+                from ggnn_tpu.query.fused import (  # noqa: PLC0415
+                    fused_index_matches_graph,
                 )
+
+                try:
+                    fused = jax.device_get(load_fused_index(fpath))
+                    ok = fused_index_matches_graph(fused, graph, k_build)
+                except Exception:
+                    ok = False  # old/corrupt sidecar format
                 if ok:
                     shard.fused_index_host = fused
                 else:
@@ -604,10 +526,6 @@ class GGNN:
         "fetch_cap_fraction": (("row",), 0.75),
         "num_seeds": (("fused",), 16),
         "rerank": (("fused",), None),
-        "block_pops_per_iter": (("block",), 4),
-        "block_cap_fraction": (("block",), 0.5),
-        "block_max_steps": (("block",), None),
-        "block_num_seeds": (("block",), 24),
     }
 
     def query(
@@ -624,21 +542,16 @@ class GGNN:
         """``engine="row"`` walks the point graph gathering f32 rows
         (reference semantics); ``engine="fused"`` walks the same point graph
         through the quantized-adjacency layout (build_fused_index() first;
-        fastest); ``engine="block"`` walks the block graph
-        (build_block_index() first).
+        fastest).
 
         Engine tuning kwargs: ``pops_per_iter`` (row/fused),
-        ``fetch_cap_fraction`` (row), ``num_seeds``/``rerank`` (fused),
-        ``block_pops_per_iter``/``block_cap_fraction``/``block_max_steps``/
-        ``block_num_seeds`` (block)."""
+        ``fetch_cap_fraction`` (row), ``num_seeds``/``rerank`` (fused)."""
         if not self._shards:
             raise RuntimeError("no graph -- call build() or load() first")
         if k_query > MAX_KQUERY:
             raise ValueError(f"k_query={k_query} exceeds {MAX_KQUERY}")
-        if engine not in ("row", "block", "fused"):
+        if engine not in ("row", "fused"):
             raise ValueError(f"unknown engine {engine!r}")
-        if engine == "block" and not self.has_block_index():
-            raise RuntimeError("no block index -- call build_block_index() first")
         if engine == "fused" and not self.has_fused_index():
             raise RuntimeError("no fused index -- call build_fused_index() first")
         kw = {}
@@ -713,19 +626,6 @@ class GGNN:
                     pops_per_iter=kw["pops_per_iter"],
                     num_seeds=kw["num_seeds"],
                     rerank=kw["rerank"],
-                )
-            elif engine == "block":
-                ids, dists = block_query(
-                    query_dev_cache[shard.device],
-                    shard.ensure_block_index(),
-                    k_query,
-                    tau_query,
-                    max_iterations,
-                    measure,
-                    pops_per_iter=kw["block_pops_per_iter"],
-                    cap_fraction=kw["block_cap_fraction"],
-                    max_steps=kw["block_max_steps"],
-                    num_seeds=kw["block_num_seeds"],
                 )
             else:
                 ids, dists = ann_query(

@@ -138,10 +138,10 @@ def sharded_fused_query(
     measure = DistanceMeasure(measure)
     width, vis_size = GraphConfig.query_beam_geometry(KQuery, max_iterations)
     n_shard = base_stack.shape[1]
-    k_build = int(index_stack.nbr_ids.shape[2])
+    cand_per_fetch = int(index_stack.nbr_ids.shape[2])
     num_seeds = min(num_seeds, int(index_stack.rep_ids.shape[1]))
     rerank = min(width, max(2 * KQuery, 32))
-    cap = max(64, (max(1, pops_per_iter) * k_build) // 4)
+    cap = max(64, (max(1, pops_per_iter) * cand_per_fetch) // 4)
     tau = jnp.float32(tau_query)
 
     @functools.partial(

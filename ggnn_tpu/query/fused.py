@@ -69,10 +69,24 @@ EMPTY_DIST = jnp.inf
 class FusedIndex(NamedTuple):
     """Quantized-adjacency index of one shard (device-resident pytree).
 
+    Adjacency blocks are stored per *group* of graph-close nodes (group
+    size 2 pairs via mutual-nearest matching on the layer-0 graph):
+    one DMA descriptor then fetches every member's inline neighbor codes at
+    once. The fetch kernel is descriptor-bound (~44 ns each, measured), so
+    halving the descriptor count -- and doubling the per-descriptor bytes,
+    which also lifts effective HBM bandwidth -- is the main fetch lever.
+    Anchors of one pop tile that map to the same group dedup to a single
+    fetch. ``group=1`` degenerates to the per-node layout.
+
     Attributes:
-      nbr_ids: [N, K] i32 -- layer-0 neighbor ids (= graph.neighbors[0]).
-      nbr_codes: [N, K, D] u8 -- the neighbors' quantized vectors, inline.
-      nbr_sq: [N, K] f32 -- squared norms of the dequantized neighbors.
+      nbr_ids: [NG, G*K] i32 -- the group members' neighbor ids, member-major
+        (-1 = empty slot).
+      nbr_codes: [NG, G*K, D] u8 -- their quantized vectors, inline.
+      nbr_sq: [NG, G*K] f32 -- squared norms of the dequantized neighbors
+        (+inf at empty slots).
+      group_of: [N] i32 -- node id -> its group (the fetch address map).
+      members: [NG, G] i32 -- group -> member node ids (-1 pad; validation +
+        introspection).
       scale / zero: [D] f32 -- per-dimension affine dequantization
         (x_hat = scale * code + zero).
       rep_ids: [R] i32 -- base ids of the layer-1 representatives (seeds).
@@ -84,6 +98,8 @@ class FusedIndex(NamedTuple):
     nbr_ids: jax.Array
     nbr_codes: jax.Array
     nbr_sq: jax.Array
+    group_of: jax.Array
+    members: jax.Array
     scale: jax.Array
     zero: jax.Array
     rep_ids: jax.Array
@@ -93,6 +109,16 @@ class FusedIndex(NamedTuple):
 
     @property
     def k_build(self) -> int:
+        """Neighbor ids per group member."""
+        return self.nbr_ids.shape[1] // self.group
+
+    @property
+    def group(self) -> int:
+        return self.members.shape[1]
+
+    @property
+    def cand_per_fetch(self) -> int:
+        """Candidate ids delivered by one block fetch."""
         return self.nbr_ids.shape[1]
 
 
@@ -131,16 +157,64 @@ def _gather_codes(codes, sq_hat, nbr0):
     return nbr_codes, nbr_sq
 
 
+def match_groups(nbr_ids: np.ndarray, group: int) -> np.ndarray:
+    """Group nodes with graph-nearest partners (deterministic, vectorized).
+
+    Greedy mutual-nearest matching in rounds: each unmatched node proposes to
+    its nearest unmatched neighbor (neighbor rows are distance-sorted by the
+    merge); mutual proposals pair up. Leftovers merge pairwise in id order
+    until groups reach the requested size. Returns members [NG, group] i32
+    (-1 pad only when N % group != 0).
+    """
+    N, K = nbr_ids.shape
+    if group <= 1:
+        return np.arange(N, dtype=np.int32)[:, None]
+    assert group == 2, "only pair grouping implemented"
+    partner = np.full((N,), -1, np.int64)
+    ids = np.arange(N, dtype=np.int64)
+    for _ in range(8):
+        free = partner == -1
+        if not free.any():
+            break
+        # nearest *free* neighbor of each free node (first in sorted row)
+        nbrs = nbr_ids.astype(np.int64).copy()
+        bad = (nbrs < 0) | ~free[np.clip(nbrs, 0, None)] | (nbrs == ids[:, None])
+        score = np.where(bad, K, np.arange(K)[None, :])
+        best_col = score.argmin(axis=1)
+        proposal = np.where(
+            score[ids, best_col] < K, nbrs[ids, best_col], -1
+        )
+        proposal[~free] = -1
+        ok = (proposal >= 0) & (proposal[np.clip(proposal, 0, None)] == ids)
+        ok &= ids < proposal  # one writer per mutual pair
+        a = ids[ok]
+        b = proposal[ok]
+        partner[a] = b
+        partner[b] = a
+    # pair the stragglers in id order
+    rest = ids[partner == -1]
+    if len(rest) >= 2:
+        even = rest[: len(rest) // 2 * 2]
+        partner[even[0::2]] = even[1::2]
+        partner[even[1::2]] = even[0::2]
+    is_owner = (partner == -1) | (ids < partner)
+    owners = ids[is_owner]  # ascending: deterministic group numbering
+    return np.stack([owners, partner[owners]], axis=1).astype(np.int32)
+
+
 def build_fused_index(
     base: jax.Array,
     graph: Graph,
     cfg: GraphConfig,
+    *,
+    group: int = 1,
 ) -> FusedIndex:
     """Derive the quantized-adjacency index from a built shard graph.
 
     For uint8 bases the codes are the bytes themselves (scale=1, zero=0),
     matching the reference's native SIFT1B uint8 mode (BaseT=uint8,
-    lib.h:23-75)."""
+    lib.h:23-75). ``group`` controls the paired-block layout (see
+    FusedIndex; group=1 restores one block per node)."""
     base_np = np.asarray(base)
     if base_np.dtype == np.uint8:
         scale = np.ones((base_np.shape[1],), np.float32)
@@ -156,14 +230,31 @@ def build_fused_index(
         codes.astype(jnp.float32) * scale_j[None, :] + zero_j[None, :]
     )
     nbr0 = graph.neighbors[0]
-    nbr_codes, nbr_sq = _gather_codes(codes, x_hat_sq, nbr0)
+    N, K = nbr0.shape
+    members_np = match_groups(np.asarray(nbr0), group)
+    members = jnp.asarray(members_np)
+    NG, G = members_np.shape
+    group_of_np = np.zeros((N,), np.int32)
+    valid = members_np >= 0
+    group_of_np[members_np[valid]] = np.repeat(
+        np.arange(NG, dtype=np.int32), G
+    ).reshape(NG, G)[valid]
+    # member-major group adjacency: row g = [nbrs(m0) || nbrs(m1) ...]; an
+    # empty member slot contributes EMPTY ids (masked downstream)
+    safe_members = jnp.clip(members, 0, None)
+    grp_nbrs = jnp.where(
+        (members != -1)[:, :, None], nbr0[safe_members], -1
+    ).reshape(NG, G * K)
+    nbr_codes, nbr_sq = _gather_codes(codes, x_hat_sq, grp_nbrs)
 
     rep_ids = graph.translation[1]
     rep_vecs = base_f32[rep_ids]
     return FusedIndex(
-        nbr_ids=nbr0,
+        nbr_ids=grp_nbrs,
         nbr_codes=nbr_codes,
         nbr_sq=nbr_sq,
+        group_of=jnp.asarray(group_of_np),
+        members=members,
         scale=scale_j,
         zero=zero_j,
         rep_ids=jnp.asarray(rep_ids, jnp.int32),
@@ -175,9 +266,9 @@ def build_fused_index(
 
 class AdjacencyTables(NamedTuple):
     """The quantized-adjacency core shared by the query engine and the
-    construction merge: inline neighbor codes of one graph layer. FusedIndex
-    is a superset (duck-typed: both carry exactly these fields plus extras).
-    """
+    construction merge: inline neighbor codes of one graph layer, one block
+    per node (FusedIndex is the grouped superset; both are duck-typed
+    through ``cand_per_fetch``/``group``)."""
 
     nbr_ids: jax.Array  # [N, K] i32
     nbr_codes: jax.Array  # [N, K, D] u8
@@ -187,6 +278,14 @@ class AdjacencyTables(NamedTuple):
 
     @property
     def k_build(self) -> int:
+        return self.nbr_ids.shape[1]
+
+    @property
+    def group(self) -> int:
+        return 1
+
+    @property
+    def cand_per_fetch(self) -> int:
         return self.nbr_ids.shape[1]
 
 
@@ -202,22 +301,36 @@ def make_adjacency(codes, x_hat_sq, nbr0, scale, zero) -> AdjacencyTables:
 def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure, use_pallas):
     """Distances from each row's query to its anchors' inline neighbors.
 
-    anchors: [B, P] i32 (-1 = empty). Returns (ids [B, P*K], d [B, P*K]).
-    One contiguous [K, D]-byte fetch per anchor -- THE hot memory access.
-    On TPU it runs as a Pallas kernel (ops/adjacency_pallas.py) that streams
-    each block HBM->VMEM and dots it in place (1.56x the XLA gather+einsum,
-    which must materialize the gathered codes).
+    anchors: [B, P] i32 (-1 = empty). Returns (ids [B, P*Kc], d [B, P*Kc])
+    where Kc = index.cand_per_fetch. One contiguous block fetch per anchor's
+    *group* -- THE hot memory access; anchors sharing a group within the
+    tile collapse to a single fetch (the duplicate becomes an EMPTY block,
+    which the Pallas kernel skips entirely). On TPU the fetch+dot runs as a
+    Pallas kernel (ops/adjacency_pallas.py) that streams each block
+    HBM->VMEM and dots it in place.
     """
     B, P = anchors.shape
-    K = index.k_build
-    safe = jnp.clip(anchors, 0, None)
-    ids = index.nbr_ids[safe].reshape(B, P * K)
-    sq = index.nbr_sq[safe].reshape(B, P * K)
+    Kc = index.cand_per_fetch
+    group_of = getattr(index, "group_of", None)
+    if group_of is not None and index.group > 1:
+        safe_a = jnp.clip(anchors, 0, None)
+        blocks = jnp.where(anchors >= 0, group_of[safe_a], EMPTY_ID)
+        # collapse same-group anchors: keep the first, blank the rest
+        eq = blocks[:, :, None] == blocks[:, None, :]
+        lower = jnp.tril(jnp.ones((P, P), bool), k=-1)
+        dup = jnp.any(eq & lower[None] & (blocks[:, None, :] >= 0), axis=-1)
+        blocks = jnp.where(dup, EMPTY_ID, blocks)
+    else:
+        blocks = anchors
+    safe_b = jnp.clip(blocks, 0, None)
+    live = (blocks >= 0)[:, :, None]
+    ids = jnp.where(live, index.nbr_ids[safe_b], EMPTY_ID).reshape(B, P * Kc)
+    sq = jnp.where(live, index.nbr_sq[safe_b], jnp.inf).reshape(B, P * Kc)
 
     # dot(q, x_hat) = (q * scale) . codes + q . zero
     qs = q_vecs * index.scale[None, :]
     dot_fn = adjacency_dot if use_pallas else adjacency_dot_xla
-    dot = dot_fn(qs, anchors, index.nbr_codes).reshape(B, P * K)
+    dot = dot_fn(qs, blocks, index.nbr_codes).reshape(B, P * Kc)
     dot = dot + (q_vecs @ index.zero)[:, None]
 
     if measure == DistanceMeasure.Euclidean:
@@ -227,11 +340,8 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure, use_pallas):
         ok = norm_sq > 0.0
         d = jnp.abs(1.0 - dot * jax.lax.rsqrt(jnp.where(ok, norm_sq, 1.0)))
         d = jnp.where(ok, d, 1.0)
-    bad = (anchors == EMPTY_ID)[:, :, None].repeat(K, axis=-1).reshape(B, P * K) | (
-        ids == EMPTY_ID
-    )
+    bad = ids == EMPTY_ID
     d = jnp.where(bad | ~jnp.isfinite(sq), EMPTY_DIST, d)
-    ids = jnp.where(bad, EMPTY_ID, ids)
     return ids, d
 
 
@@ -295,7 +405,7 @@ def fused_best_first(
     """
     P = max(1, pops_per_iter)
     if cap is None:
-        cap = max(64, (P * index.k_build) // 4)
+        cap = max(64, (P * index.cand_per_fetch) // 4)
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     steps = -(-max_iterations // P)
@@ -450,7 +560,7 @@ def fused_query(
     if cap is None:
         # a quarter of the raw tile survives criteria+dedup in steady state;
         # survivors beyond the cap cost at most a revisit
-        cap = max(64, (max(1, pops_per_iter) * index.k_build) // 4)
+        cap = max(64, (max(1, pops_per_iter) * index.cand_per_fetch) // 4)
     Q = query.shape[0]
     if Q == 0:
         return (
@@ -484,6 +594,26 @@ def fused_query(
     ids = jnp.concatenate([o[0] for o in outs], axis=0)[:Q]
     dists = jnp.concatenate([o[1] for o in outs], axis=0)[:Q]
     return ids, dists
+
+
+def fused_index_matches_graph(index: FusedIndex, graph, k_build: int) -> bool:
+    """Whether a (possibly stale) fused index belongs to this graph: every
+    group row must hold exactly its members' current layer-0 neighbor ids.
+    Used to reject out-of-date sidecar files on load (GGNN.load)."""
+    try:
+        nbr0 = np.asarray(graph.neighbors[0])
+        N, K = nbr0.shape
+        if K != k_build or index.k_build != K:
+            return False
+        m = np.asarray(index.members)
+        if int((m >= 0).sum()) != N or np.asarray(index.group_of).shape != (N,):
+            return False
+        expected = np.where(
+            (m >= 0)[:, :, None], nbr0[np.clip(m, 0, None)], -1
+        ).reshape(m.shape[0], m.shape[1] * K)
+        return np.array_equal(np.asarray(index.nbr_ids), expected)
+    except Exception:
+        return False
 
 
 def save_fused_index(path: str | Path, index: FusedIndex) -> None:

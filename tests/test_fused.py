@@ -179,3 +179,58 @@ def test_ggnn_api_fused(tmp_path):
     assert g2.has_fused_index()
     ids2, _ = g2.query(query, 10, 1.0, 200, engine="fused")
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+
+
+def test_match_groups_invariants(built):
+    """Pair matching: every node in exactly one group; partners are graph
+    neighbors for the mutual-matched majority."""
+    from ggnn_tpu.query.fused import match_groups
+
+    _, _, cfg, graph, _ = built
+    nbr0 = np.asarray(graph.neighbors[0])
+    m = match_groups(nbr0, 2)
+    flat = m[m >= 0]
+    assert sorted(flat.tolist()) == list(range(len(nbr0)))  # exact partition
+    # most pairs are graph-adjacent (mutual-nearest matching)
+    a, b = m[:, 0], m[:, 1]
+    paired = b >= 0
+    adj = np.any(nbr0[a[paired]] == b[paired, None], axis=1)
+    assert adj.mean() > 0.8
+
+
+def test_grouped_index_same_results(built):
+    """group=2 layout must reach the recall of the per-node layout (same
+    walk semantics, one fetch per pair)."""
+    base, query, cfg, graph, index1 = built
+    index2 = build_fused_index(jnp.asarray(base), graph, cfg, group=2)
+    assert index2.group == 2 and index2.k_build == cfg.KBuild
+    gt_ids, _ = bruteforce_knn(jnp.asarray(base), jnp.asarray(query), 10)
+    gt = np.asarray(gt_ids)
+    ids2, d2 = fused_query(
+        jnp.asarray(query), index2, jnp.asarray(base), 10, 0.64, 200,
+        pops_per_iter=8,
+    )
+    ids2 = np.asarray(ids2)
+    c1 = np.mean([gt[i, 0] in ids2[i] for i in range(len(gt))])
+    assert c1 >= 0.95, f"grouped fused c@1={c1}"
+    # rows stay sorted + unique
+    for row_i, row_d in zip(ids2, np.asarray(d2)):
+        filled = row_d[np.isfinite(row_d)]
+        assert np.all(np.diff(filled) >= 0)
+        real = row_i[row_i >= 0]
+        assert len(np.unique(real)) == len(real)
+
+
+def test_grouped_index_validation(built):
+    from ggnn_tpu.query.fused import fused_index_matches_graph
+
+    base, _, cfg, graph, index1 = built
+    index2 = build_fused_index(jnp.asarray(base), graph, cfg, group=2)
+    assert fused_index_matches_graph(index1, graph, cfg.KBuild)
+    assert fused_index_matches_graph(index2, graph, cfg.KBuild)
+    # a different graph must be rejected
+    rng = np.random.default_rng(99)
+    perm = rng.permutation(len(base))
+    base_p = base[perm]
+    graph_p, _ = build_graph(jnp.asarray(base_p), cfg, 0.5, refinement_iterations=0)
+    assert not fused_index_matches_graph(index2, graph_p, cfg.KBuild)

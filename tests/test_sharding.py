@@ -157,7 +157,7 @@ def test_query_rejects_inapplicable_engine_kwargs(data):
     with pytest.raises(ValueError, match="does not accept"):
         g.query(query, 10, tau_query=0.7, engine="row", num_seeds=8)
     with pytest.raises(ValueError, match="does not accept"):
-        g.query(query, 10, tau_query=0.7, engine="row", block_num_seeds=8)
+        g.query(query, 10, tau_query=0.7, engine="row", rerank=32)
     with pytest.raises(TypeError):
         g.query(query, 10, tau_query=0.7, engine="row", bogus_knob=1)
 
