@@ -104,8 +104,10 @@ def main():
     # the lock-step sweep, so a tight budget is nearly free recall-wise).
     qkw = {"engine": "fused", "pops_per_iter": 8, "num_seeds": 16}
     sweep = [
-        (0.51, 48), (0.64, 48), (0.41, 64), (0.51, 64), (0.34, 100),
-        (0.41, 100), (0.51, 100), (0.64, 100), (0.41, 200), (0.64, 200),
+        (0.34, 48), (0.41, 48), (0.51, 48), (0.64, 48),
+        (0.34, 64), (0.41, 64), (0.51, 64),
+        (0.34, 100), (0.41, 100), (0.51, 100), (0.64, 100),
+        (0.41, 200), (0.64, 200),
         (0.8, 200), (1.0, 400), (1.3, 400),
     ]
     best = None

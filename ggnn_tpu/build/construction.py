@@ -41,13 +41,14 @@ class _BuildContext:
     Graph pair, graph_buffer.cuh:38-92)."""
 
     def __init__(self, base, cfg: GraphConfig, measure, tau_build, seed, chunk,
-                 quantized_fetch=True):
+                 quantized_fetch=True, sym_mode="hybrid"):
         self.cfg = cfg
         self.measure = DistanceMeasure(measure)
         self.tau_build = float(tau_build)
         self.base = base
         self.base_sq = squared_norms(base)
         self.chunk = chunk
+        self.sym_mode = sym_mode
         # quantized layer-0 merge fetch (query/fused.py layout); auto-off
         # when the inline adjacency would not fit comfortably in HBM
         self.quantized_fetch = bool(quantized_fetch) and (
@@ -162,10 +163,6 @@ class _BuildContext:
             r["out"] = sel
 
     def sym(self, layer: int):
-        # NOTE: a quantized-fetch sym path exists (sym_pass(adj=...)) but
-        # measured SLOWER at 65k: the dynamic sym-buffer gather dominates
-        # and the exact path's dedup+compaction already halves the fetch.
-        adj = None
         with self.timer.phase(f"sym[{layer}]", self.cfg.Ns[layer]) as r:
             nbrs, stats = sym_pass(
                 self.base,
@@ -177,7 +174,7 @@ class _BuildContext:
                 layer,
                 self.measure,
                 self.tau_build,
-                adj=adj,
+                mode=self.sym_mode,
             )
             self.neighbors[layer] = nbrs
             self.sym_stats.append({"layer": layer, **stats})
@@ -217,10 +214,15 @@ def build_graph(
     seed: int = 1234,
     chunk: int = 8192,
     quantized_fetch: bool = True,
+    sym_mode: str = "hybrid",
 ) -> tuple[Graph, dict]:
-    """Build one graph shard. Returns (graph, build stats)."""
+    """Build one graph shard. Returns (graph, build stats).
+
+    ``sym_mode``: "hybrid" (bulk proposals + residual walks, default),
+    "bulk" (drop residual links instead of walking -- fastest), "walk"
+    (walk every unconnected pair -- the conservative reference shape)."""
     ctx = _BuildContext(base, cfg, measure, tau_build, seed, chunk,
-                        quantized_fetch=quantized_fetch)
+                        quantized_fetch=quantized_fetch, sym_mode=sym_mode)
     L = cfg.L
 
     # graph_construction.cu:128-140

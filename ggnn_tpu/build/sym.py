@@ -38,7 +38,6 @@ from ggnn_tpu.config import (
     DistanceMeasure,
     GraphConfig,
 )
-from ggnn_tpu.ops.adjacency_pallas import adjacency_dot_xla
 from ggnn_tpu.ops.beam import (
     beam_compact_candidates,
     beam_dedup_mask,
@@ -51,16 +50,6 @@ from ggnn_tpu.utils.timing import hard_sync
 __all__ = ["sym_pass"]
 
 _HALF_EPS = 0.1  # simple_knn_sym_cache.cuh:39
-
-
-def _dists_from_dots(dot, p_sq, cand_sq, measure):
-    """Distance from dot products + norms (the quantized fetch path)."""
-    if measure == DistanceMeasure.Euclidean:
-        return jnp.maximum(p_sq[:, None, None] + cand_sq - 2.0 * dot, 0.0)
-    norm = p_sq[:, None, None] * cand_sq
-    ok = norm > 0.0
-    d = jnp.abs(1.0 - dot * jax.lax.rsqrt(jnp.where(ok, norm, 1.0)))
-    return jnp.where(ok, d, 1.0)
 
 
 def _pair_dists(q, h, q_sq, h_sq, cand_vecs, cand_sq, measure):
@@ -109,14 +98,18 @@ def _sym_walk(
     base_sq,
     nn1_stats,
     tau_build,
-    adj,  # AdjacencyTables of this layer's graph (quantized fetch) or None
     *,
     cfg: GraphConfig,
     measure: DistanceMeasure,
     use_translation: bool,
     pops_per_iter: int,
 ):
-    """Walk from ``start`` toward ``n``; return (connected, preference list)."""
+    """Walk from ``start`` toward ``n``; return (connected, preference list).
+
+    Only rows whose whole bulk preference list was full reach this walk (see
+    sym_pass); it searches deeper for an alternative host with capacity,
+    exactly the reference walk's remaining job (sym_query_layer.cu:87-141).
+    """
     R = n.shape[0]
     KL, KF = cfg.KL, cfg.KF
     KC = KL + KF
@@ -171,44 +164,6 @@ def _sym_walk(
         connected = connected | found
 
         usable = a_ok & active[:, None] & ~found[:, None]
-        if adj is not None:
-            # quantized fetch: ONE contiguous code block per popped anchor
-            # covers its KL local links (the first KL adjacency columns);
-            # only the dynamic sym-buffer ids still gather f32 rows. Both
-            # query- and half-point distances come from the same block
-            # (dot with q and with h -- the XLA gather CSEs to one fetch).
-            dot_q = adjacency_dot_xla(
-                q * adj.scale[None, :], anchors, adj.nbr_codes
-            )
-            dot_h = adjacency_dot_xla(
-                h * adj.scale[None, :], anchors, adj.nbr_codes
-            )
-            dot_q = dot_q + (q @ adj.zero)[:, None, None]
-            dot_h = dot_h + (h @ adj.zero)[:, None, None]
-            sq_s = adj.nbr_sq[safe_anchor]  # [R, P, KBuild] (inf = EMPTY)
-            dq_s = _dists_from_dots(dot_q, q_sq, sq_s, measure)[..., :KL]
-            dh_s = _dists_from_dots(dot_h, h_sq, sq_s, measure)[..., :KL]
-
-            dyn = jnp.clip(cand_sym, 0, None).reshape(R, P * KF)
-            vecs_d = base[tr(dyn)].astype(jnp.float32)
-            dq_d, dh_d = _pair_dists(
-                q, h, q_sq, h_sq, vecs_d, base_sq[tr(dyn)], measure
-            )
-            dq = jnp.concatenate(
-                [dq_s, dq_d.reshape(R, P, KF)], axis=-1
-            ).reshape(R, P * KC)
-            dh = jnp.concatenate(
-                [dh_s, dh_d.reshape(R, P, KF)], axis=-1
-            ).reshape(R, P * KC)
-            ok = beam_dedup_mask(st, cand, valid=usable)
-            admitted = jnp.where(
-                ok & (dh < criteria_half[:, None]), cand, -1
-            )
-            st = beam_insert(
-                st, admitted, dq, row_mask=active & ~found, criteria=crit
-            )
-            return st, connected, active & ~found
-
         # exact path: dedup on ids BEFORE the vector gather, pack left
         ok = beam_dedup_mask(st, cand, valid=usable)
         packed = beam_compact_candidates(cand, ok, cap_now)
@@ -311,7 +266,7 @@ def _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, *, KL: int, KF: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "measure", "use_translation")
+    jax.jit, static_argnames=("cfg", "measure", "use_translation", "pref_gate")
 )
 def _bulk_filter_chunk(
     rows,  # [C] indices into [Nl*KL], -1 = pad
@@ -325,6 +280,7 @@ def _bulk_filter_chunk(
     cfg: GraphConfig,
     measure: DistanceMeasure,
     use_translation: bool,
+    pref_gate: bool = True,
 ):
     """First-expansion connectivity check for one chunk of mutual-filtered
     (node, neighbor) rows -- the bulk equivalent of the walk's first step.
@@ -377,14 +333,19 @@ def _bulk_filter_chunk(
         (back == n[:, None, None]) & admitted[:, :, None], axis=(1, 2)
     )
 
-    # preference list: s plus the admitted first-expansion candidates, the
-    # KF nearest to n first -- the bulk analog of the walk's KF-best on-path
-    # host list (sym_query_layer.cu:124-129). Rows whose whole list is full
-    # are the only ones that still walk.
+    # preference list: s plus the first-expansion candidates, the KF
+    # nearest to n first -- the bulk analog of the walk's KF-best on-path
+    # host list (sym_query_layer.cu:124-129). With pref_gate=True only
+    # beam-admissible candidates may host (the reference inserts only at
+    # nodes its walk visited, i.e. admitted ones -- measured better graph
+    # quality); ungated hosting (pref_gate=False) nearly eliminates
+    # residual walks but measured ~0.006 c@1 lower at 65k. Rows whose whole
+    # list is full are the only ones that still walk.
     KF = cfg.KF
+    host_ok = admitted if pref_gate else t_ok
     cand = jnp.concatenate([s[:, None], t], axis=1)  # [C, 1+KL]
     cand_d = jnp.concatenate([dq0[:, None], dq_t], axis=1)
-    cand_ok = jnp.concatenate([~row_pad[:, None], admitted], axis=1)
+    cand_ok = jnp.concatenate([~row_pad[:, None], host_ok], axis=1)
     cand_d = jnp.where(cand_ok, cand_d, jnp.inf)
     cand = jnp.where(cand_ok, cand, -1)
     cand_d, pref = jax.lax.sort((cand_d, cand), dimension=-1, num_keys=1)
@@ -456,7 +417,6 @@ def _sym_scan_block(
     base_sq,
     nn1_stats,
     tau_build,
-    adj,
     *,
     cfg: GraphConfig,
     measure: DistanceMeasure,
@@ -490,7 +450,6 @@ def _sym_scan_block(
             base_sq,
             nn1_stats,
             tau_build,
-            adj,
             cfg=cfg,
             measure=measure,
             use_translation=use_translation,
@@ -520,8 +479,8 @@ def sym_pass(
     tau_build: float,
     chunk_nodes: int = 4096,
     pops_per_iter: int = 4,
-    adj=None,
     mode: str = "hybrid",
+    pref_gate: bool = True,
 ):
     """Run the full sym pass on one layer.
 
@@ -538,7 +497,10 @@ def sym_pass(
            already full -- the walk's real job is finding a *nearby
            alternative* host (sym_query_layer.cu:124-141).
 
-    ``mode="walk"`` runs the round-1 behavior: a walk per unconnected pair.
+    ``mode="bulk"`` skips phase iii entirely: rows whose whole preference
+    list is full drop their link, like the reference's overflow drop after
+    an unsuccessful walk. ``mode="walk"`` runs the round-1 behavior: a walk
+    per unconnected pair.
 
     Returns (new_nbrs, stats dict with overflow/added-links counters matching
     graph_construction.cu:354-378).
@@ -559,8 +521,9 @@ def sym_pass(
     tau = jnp.float32(tau_build)
     bulk_connected = 0
     bulk_accepted = 0
+    walk_residual = 0
 
-    if mode == "hybrid" and len(rows):
+    if mode in ("hybrid", "bulk") and len(rows):
         # phase ii: chunked first-expansion filter, then one bulk proposal
         C = 1 << 16
         num_f_chunks = -(-len(rows) // C)
@@ -579,6 +542,7 @@ def sym_pass(
                 cfg=cfg,
                 measure=DistanceMeasure(measure),
                 use_translation=use_translation,
+                pref_gate=pref_gate,
             )
             conn_parts.append(conn)
             dq0_parts.append(dq0)
@@ -603,6 +567,9 @@ def sym_pass(
         bulk_accepted = int(accept_host.sum())
         # phase iii residual: valid rows whose direct target was full
         rows = rows_pad[valid_host & ~accept_host]
+        if mode == "bulk":
+            walk_residual = int(len(rows))
+            rows = rows[:0]
 
     if len(rows):
         # pick the walk-program width from a power-of-two ladder so a tiny
@@ -632,7 +599,6 @@ def sym_pass(
                 base_sq,
                 nn1_stats,
                 tau,
-                adj,
                 cfg=cfg,
                 measure=DistanceMeasure(measure),
                 use_translation=use_translation,
@@ -649,6 +615,7 @@ def sym_pass(
         "added_links": int(jnp.minimum(atomic_host, KF).sum()),
         "N": Nl,
         "walk_rows": int(len(rows)),
+        "dropped_rows": walk_residual if mode == "bulk" else 0,
         "bulk_connected": bulk_connected,
         "bulk_accepted": bulk_accepted,
         "total_rows": int(Nl * KL),
