@@ -41,7 +41,7 @@ class _BuildContext:
     Graph pair, graph_buffer.cuh:38-92)."""
 
     def __init__(self, base, cfg: GraphConfig, measure, tau_build, seed, chunk,
-                 quantized_fetch=True, sym_mode="hybrid"):
+                 quantized_fetch=True, sym_mode="bulk"):
         self.cfg = cfg
         self.measure = DistanceMeasure(measure)
         self.tau_build = float(tau_build)
@@ -214,13 +214,14 @@ def build_graph(
     seed: int = 1234,
     chunk: int = 8192,
     quantized_fetch: bool = True,
-    sym_mode: str = "hybrid",
+    sym_mode: str = "bulk",
 ) -> tuple[Graph, dict]:
     """Build one graph shard. Returns (graph, build stats).
 
-    ``sym_mode``: "hybrid" (bulk proposals + residual walks, default),
-    "bulk" (drop residual links instead of walking -- fastest), "walk"
-    (walk every unconnected pair -- the conservative reference shape)."""
+    ``sym_mode``: "bulk" (drop residual links instead of walking --
+    fastest, measured recall-identical; default), "hybrid" (bulk proposals
+    + residual walks), "walk" (walk every unconnected pair -- the
+    conservative reference shape)."""
     ctx = _BuildContext(base, cfg, measure, tau_build, seed, chunk,
                         quantized_fetch=quantized_fetch, sym_mode=sym_mode)
     L = cfg.L

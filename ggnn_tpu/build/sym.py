@@ -479,12 +479,12 @@ def sym_pass(
     tau_build: float,
     chunk_nodes: int = 4096,
     pops_per_iter: int = 4,
-    mode: str = "hybrid",
+    mode: str = "bulk",
     pref_gate: bool = True,
 ):
     """Run the full sym pass on one layer.
 
-    ``mode="hybrid"`` (default) decomposes the reference's per-pair walks
+    ``mode``: three decompositions of the reference's per-pair walks
     (sym_query_layer.cu:39-145) into three phases, walking only a small
     residual:
 
@@ -497,10 +497,11 @@ def sym_pass(
            already full -- the walk's real job is finding a *nearby
            alternative* host (sym_query_layer.cu:124-141).
 
-    ``mode="bulk"`` skips phase iii entirely: rows whose whole preference
-    list is full drop their link, like the reference's overflow drop after
-    an unsuccessful walk. ``mode="walk"`` runs the round-1 behavior: a walk
-    per unconnected pair.
+    ``mode="bulk"`` (default) skips phase iii entirely: rows whose whole
+    preference list is full drop their link, like the reference's overflow
+    drop after an unsuccessful walk -- measured recall-identical to
+    "hybrid" at 65k and substantially faster. ``mode="walk"`` runs the
+    round-1 behavior: a walk per unconnected pair.
 
     Returns (new_nbrs, stats dict with overflow/added-links counters matching
     graph_construction.cu:354-378).
@@ -524,8 +525,10 @@ def sym_pass(
     walk_residual = 0
 
     if mode in ("hybrid", "bulk") and len(rows):
-        # phase ii: chunked first-expansion filter, then one bulk proposal
-        C = 1 << 16
+        # phase ii: chunked first-expansion filter, then one bulk proposal.
+        # Chunk width follows a power-of-two ladder so small layers do not
+        # pad up to full-width filter programs.
+        C = min(1 << 16, max(4096, 1 << (len(rows) - 1).bit_length()))
         num_f_chunks = -(-len(rows) // C)
         rows_pad = np.full((num_f_chunks * C,), -1, np.int32)
         rows_pad[: len(rows)] = rows

@@ -302,6 +302,7 @@ class GGNN:
         measure: DistanceMeasure = DistanceMeasure.Euclidean,
         *,
         quantized_fetch: bool = True,
+        sym_mode: str = "bulk",
     ) -> None:
         """Build the search graph over all shards (ggnn.cuh:130-133).
 
@@ -312,7 +313,8 @@ class GGNN:
         measured recall-neutral and faster on well-behaved data; the
         quantizer range is percentile-clipped against outlier dimensions
         (query/fused.py:fit_affine_u8). Pass ``quantized_fetch=False`` to
-        force exact f32 candidate fetches throughout."""
+        force exact f32 candidate fetches throughout. ``sym_mode`` selects
+        the symmetric-link decomposition (build/sym.py:sym_pass)."""
         self._measure = DistanceMeasure(measure)
         self._prepare(k_build)
         budget = self._resident_budget()
@@ -328,6 +330,7 @@ class GGNN:
                 self._measure,
                 seed=self._build_seed + shard.shard_id,
                 quantized_fetch=quantized_fetch,
+                sym_mode=sym_mode,
             )
             shard.graph = graph
             stats.append(s)
