@@ -17,7 +17,10 @@ GPU; the in-repo reference publishes recall anchors only (BASELINE.json
 "published": {}), so 500k QPS is used as the GPU-parity denominator.
 
 Environment knobs: GGNN_BENCH_N (base size, default 262144),
-GGNN_BENCH_NQ (queries, default 10000), GGNN_BENCH_FULL=1 (N=1M).
+GGNN_BENCH_NQ (queries, default 10000), GGNN_BENCH_FULL=1 (N=1M),
+GGNN_BENCH_CACHE=<dir> (store the built graph there / reload it on rerun --
+lets hour-long large-N runs survive TPU-relay crashes; the reported build
+time on a cache hit is the one recorded at store time).
 """
 
 import json
@@ -85,15 +88,43 @@ def main():
     g = GGNN()
     g.set_base(base)
 
-    t0 = time.perf_counter()
-    g.build(k_build=k_build, tau_build=tau_build, refinement_iterations=2)
-    g.build_fused_index()  # quantized-adjacency layout for the query phase
-    build_s = time.perf_counter() - t0
-    print(f"# build: {build_s:.2f} s ({build_s * 1e6 / n:.2f} us/point)", file=sys.stderr)
+    cache_dir = os.environ.get("GGNN_BENCH_CACHE")
+    meta_path = os.path.join(cache_dir, "bench_meta.json") if cache_dir else None
+    cached = None
+    if meta_path and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            cached = json.load(f)
+        if cached.get("n") != n or cached.get("k_build") != k_build:
+            cached = None  # stale cache from a different config -- rebuild
+    if cached is not None:
+        g.set_working_directory(cache_dir)
+        g.load(k_build)
+        g.build_fused_index()
+        build_s = cached["build_s"]
+        print(f"# build: {build_s:.2f} s (cached from {cache_dir})", file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        g.build(k_build=k_build, tau_build=tau_build, refinement_iterations=2)
+        g.build_fused_index()  # quantized-adjacency layout for the query phase
+        build_s = time.perf_counter() - t0
+        print(f"# build: {build_s:.2f} s ({build_s * 1e6 / n:.2f} us/point)", file=sys.stderr)
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            g.set_working_directory(cache_dir)
+            g.store()
+            with open(meta_path, "w") as f:
+                json.dump({"n": n, "k_build": k_build, "build_s": build_s}, f)
 
-    gt_t0 = time.perf_counter()
-    gt_ids, _ = g.bf_query(query, k_gt=max(100, k_query))
-    print(f"# brute force: {time.perf_counter() - gt_t0:.2f} s", file=sys.stderr)
+    gt_path = os.path.join(cache_dir, "gt.npy") if cache_dir else None
+    if gt_path and cached is not None and os.path.exists(gt_path):
+        gt_ids = np.load(gt_path)
+        print("# brute force: cached", file=sys.stderr)
+    else:
+        gt_t0 = time.perf_counter()
+        gt_ids, _ = g.bf_query(query, k_gt=max(100, k_query))
+        print(f"# brute force: {time.perf_counter() - gt_t0:.2f} s", file=sys.stderr)
+        if gt_path:
+            np.save(gt_path, gt_ids)
     evaluator = Evaluator(base, query, gt_ids, k_query=k_query)
 
     # warmup + (tau, iteration-budget) sweep for the C@1 >= 0.9 operating
@@ -137,8 +168,12 @@ def main():
         # point with a strictly larger pop budget can only be slower -- but
         # finish the current budget tier (other taus at the same iters may
         # qualify with higher QPS before converged-row skipping kicks in)
-        if best is not None and iters > best["iters"]:
-            break
+        if (
+            best is not None
+            and iters > best["iters"]
+            and not os.environ.get("GGNN_BENCH_CURVE")
+        ):
+            break  # GGNN_BENCH_CURVE=1 runs every point (anchor-curve tables)
     if best is None:
         best = {"tau": None, "iters": None, "qps": 0.0, "c1": ev.c1,
                 "c10": ev.cKQuery}
