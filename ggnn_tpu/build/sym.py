@@ -265,12 +265,26 @@ def _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, *, KL: int, KF: int):
     return nbrs.at[:, KL:].set(out)
 
 
+def _pad_rows_to_lanes(tbl: jax.Array, cols: int, lanes: int = 128) -> jax.Array:
+    """Widen an integer row table to the VPU lane width before row gathers.
+
+    Gathering [*, KL]-shaped slices of a [N, 24] i32 table issues sub-lane
+    (48-byte) row fetches, which XLA:TPU executes ~50x below the 512-byte-row
+    gather bandwidth (measured: the backlink check was 1.65 s of a 1.85 s
+    filter chunk). One explicit pad to 128 lanes turns every downstream row
+    gather into the aligned 512-byte case. Pad value -1 never matches a node
+    id."""
+    pad = -(-cols // lanes) * lanes - cols
+    return jnp.pad(tbl[:, :cols], ((0, 0), (0, pad)), constant_values=-1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "measure", "use_translation", "pref_gate")
 )
 def _bulk_filter_chunk(
     rows,  # [C] indices into [Nl*KL], -1 = pad
     nbrs,
+    nbrs_wide,  # [Nl, 128] lane-padded local slots (see _pad_rows_to_lanes)
     translation_l,
     base,
     base_sq,
@@ -322,13 +336,13 @@ def _bulk_filter_chunk(
     crit_q = dq0 + xi
     crit_h = dh0[:, 0] + xi
 
-    t = nbrs[s, :KL]  # [C, KL] first-expansion candidates
+    t = nbrs_wide[s][:, :KL]  # [C, KL] first-expansion candidates
     t_ok = (t != -1) & (t != n[:, None])
     t_safe = jnp.clip(t, 0, None)
     vecs = base[tr(t_safe)].astype(jnp.float32)
     dq_t, dh_t = _pair_dists(q, h, q_sq, h_sq, vecs, base_sq[tr(t_safe)], measure)
     admitted = t_ok & (dh_t < crit_h[:, None]) & (dq_t < crit_q[:, None])
-    back = nbrs[t_safe, :KL]  # [C, KL, KL]
+    back = nbrs_wide[t_safe]  # [C, KL, 128] -- lane-aligned row gather
     connected = jnp.any(
         (back == n[:, None, None]) & admitted[:, :, None], axis=(1, 2)
     )
@@ -394,9 +408,10 @@ def _rows_needing_walk(nbrs, *, KL: int):
     its very first fetch (sym_query_layer.cu:87-97). Filtering them up front
     lets the expensive walk scan run over a compacted row list (typically
     half the rows or fewer)."""
-    Nl = nbrs.shape[0]
+    Nl, K = nbrs.shape
     starts = nbrs[:, :KL]  # [Nl, KL]
-    back = nbrs[jnp.clip(starts, 0, None)]  # [Nl, KL, KBuild]
+    # lane-aligned row gather (see _pad_rows_to_lanes)
+    back = _pad_rows_to_lanes(nbrs, K)[jnp.clip(starts, 0, None)]
     node = jnp.arange(Nl, dtype=jnp.int32)[:, None]
     direct = jnp.any(back == node[:, :, None], axis=-1)
     return (starts != -1) & (starts != node) & ~direct
@@ -532,11 +547,13 @@ def sym_pass(
         num_f_chunks = -(-len(rows) // C)
         rows_pad = np.full((num_f_chunks * C,), -1, np.int32)
         rows_pad[: len(rows)] = rows
+        nbrs_wide = _pad_rows_to_lanes(nbrs, KL)
         conn_parts, dq0_parts, n_parts, pref_parts = [], [], [], []
         for c in range(num_f_chunks):
             conn, dq0, n_ids, _s_ids, pref = _bulk_filter_chunk(
                 jnp.asarray(rows_pad[c * C : (c + 1) * C]),
                 nbrs,
+                nbrs_wide,
                 trans,
                 base,
                 base_sq,

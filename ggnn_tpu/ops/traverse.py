@@ -124,6 +124,18 @@ def best_first_search(
     K = nbr_table.shape[-1]
     P = max(1, pops_per_iter)
     steps = -(-max_iterations // P)
+    # Lane-pad the neighbor table before the loop: gathering raw [*, K] i32
+    # rows issues sub-lane (~96-byte) fetches that XLA:TPU runs ~50x below
+    # 512-byte-row gather bandwidth (measured in the sym bulk filter). The
+    # pad is loop-invariant (hoisted once per compiled chunk); the gather
+    # result is sliced straight back to K columns.
+    lanes = 128
+    if K % lanes:
+        nbr_wide = jnp.pad(
+            nbr_table, ((0, 0), (0, lanes - K % lanes)), constant_values=-1
+        )
+    else:
+        nbr_wide = nbr_table
     if P == 1 or fetch_cap_fraction >= 1.0:
         cap = P * K
     else:
@@ -134,7 +146,7 @@ def best_first_search(
             st = st._replace(xi=dynamic_xi(st))
         anchors, active, st = beam_pop(st, P, k_best)  # [B, P]
         safe_anchor = jnp.where(anchors != -1, anchors, 0)
-        nbrs = nbr_table[safe_anchor].reshape(anchors.shape[0], P * K)
+        nbrs = nbr_wide[safe_anchor][:, :, :K].reshape(anchors.shape[0], P * K)
         valid = jnp.repeat(anchors != -1, K, axis=-1, total_repeat_length=P * K)
         # dedup on ids BEFORE fetching vectors, then compact the survivors
         ok = beam_dedup_mask(st, nbrs, valid)
