@@ -145,6 +145,11 @@ def _sym_walk(
         state, start[:, None], dq0, criteria=jnp.full((R,), jnp.inf, jnp.float32)
     )
 
+    # lane-pad both tables once per walk (loop-invariant, hoisted by XLA);
+    # sub-lane row gathers are ~50x slower (see _pad_rows_to_lanes)
+    nbrs_wide = _pad_rows_to_lanes(nbrs, KL)
+    sym_wide = _pad_rows_to_lanes(sym_buffer, KF)
+
     def step(st, connected, cap_now):
         # criteria_sym = best distance + xi (simple_knn_sym_cache.cuh:285-288)
         crit = st.d[:, 0] + st.xi
@@ -154,8 +159,8 @@ def _sym_walk(
         safe_anchor = jnp.where(anchors != -1, anchors, 0)
         # candidates = KL local links + KF requested inverse links per anchor
         # (sym_query_layer.cu:98-112)
-        cand_local = nbrs[safe_anchor, :KL]  # [R, P, KL]
-        cand_sym = sym_buffer[safe_anchor]  # [R, P, KF]
+        cand_local = nbrs_wide[safe_anchor][..., :KL]  # [R, P, KL]
+        cand_sym = sym_wide[safe_anchor][..., :KF]  # [R, P, KF]
         cand = jnp.concatenate([cand_local, cand_sym], axis=-1).reshape(
             R, P * KC
         )
