@@ -107,3 +107,4 @@ def test_squared_norms(rng):
     np.testing.assert_allclose(
         np.asarray(squared_norms(jnp.asarray(x))), (x * x).sum(-1), rtol=1e-5
     )
+
