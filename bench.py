@@ -75,6 +75,7 @@ def main():
     tau_build = 0.5
     max_iterations = 400
 
+    group = int(os.environ.get("GGNN_BENCH_GROUP", 2))
     set_log_level(int(os.environ.get("GGNN_BENCH_VERBOSE", 0)))
     print(f"# devices: {jax.devices()}", file=sys.stderr)
 
@@ -99,13 +100,16 @@ def main():
     if cached is not None:
         g.set_working_directory(cache_dir)
         g.load(k_build)
-        g.build_fused_index()
+        g.build_fused_index(group=group)
         build_s = cached["build_s"]
         print(f"# build: {build_s:.2f} s (cached from {cache_dir})", file=sys.stderr)
     else:
         t0 = time.perf_counter()
         g.build(k_build=k_build, tau_build=tau_build, refinement_iterations=2)
-        g.build_fused_index()  # quantized-adjacency layout for the query phase
+        # quantized-adjacency layout for the query phase; grouped blocks
+        # (graph-nearest members share one DMA descriptor) are the measured
+        # recall-per-fetch lever
+        g.build_fused_index(group=group)
         build_s = time.perf_counter() - t0
         print(f"# build: {build_s:.2f} s ({build_s * 1e6 / n:.2f} us/point)", file=sys.stderr)
         if cache_dir:
@@ -135,6 +139,7 @@ def main():
     # the lock-step sweep, so a tight budget is nearly free recall-wise).
     qkw = {"engine": "fused", "pops_per_iter": 8, "num_seeds": 16}
     sweep = [
+        (0.34, 32), (0.41, 32), (0.51, 32),
         (0.34, 48), (0.41, 48), (0.51, 48), (0.64, 48),
         (0.34, 64), (0.41, 64), (0.51, 64),
         (0.34, 100), (0.41, 100), (0.51, 100), (0.64, 100),
@@ -190,6 +195,7 @@ def main():
             "tau_build": tau_build,
             "tau_query": best["tau"],
             "max_iterations": best.get("iters") or max_iterations,
+            "group": group,
             "c1": round(best["c1"], 4),
             "c10": round(best["c10"], 4),
             "build_s": round(build_s, 2),

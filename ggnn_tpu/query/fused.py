@@ -160,16 +160,47 @@ def _gather_codes(codes, sq_hat, nbr0):
 def match_groups(nbr_ids: np.ndarray, group: int) -> np.ndarray:
     """Group nodes with graph-nearest partners (deterministic, vectorized).
 
-    Greedy mutual-nearest matching in rounds: each unmatched node proposes to
-    its nearest unmatched neighbor (neighbor rows are distance-sorted by the
-    merge); mutual proposals pair up. Leftovers merge pairwise in id order
-    until groups reach the requested size. Returns members [NG, group] i32
-    (-1 pad only when N % group != 0).
+    ``group`` must be a power of two. Pairs come from greedy mutual-nearest
+    matching (see :func:`_match_pairs`); larger groups recurse -- pairs are
+    re-matched on the induced pair-level adjacency (a pair's neighbor list is
+    its members' neighbor *pairs*, interleaved so the graph-nearest-first
+    ordering survives), so a group of 4 is two graph-adjacent pairs, etc.
+    Returns members [NG, group] i32 (-1 pads only when N % group != 0).
     """
     N, K = nbr_ids.shape
     if group <= 1:
         return np.arange(N, dtype=np.int32)[:, None]
-    assert group == 2, "only pair grouping implemented"
+    assert group & (group - 1) == 0, "group must be a power of two"
+    pairs = _match_pairs(nbr_ids)
+    if group == 2:
+        return pairs
+    NP = pairs.shape[0]
+    # induced pair-level adjacency: map member neighbor ids -> pair ids,
+    # interleaved member-major so column order still means nearest-first
+    pair_of = np.zeros((N,), np.int64)
+    valid = pairs >= 0
+    pair_of[pairs[valid]] = np.repeat(
+        np.arange(NP, dtype=np.int64), 2
+    ).reshape(NP, 2)[valid]
+    mem_nbrs = np.where(
+        valid[:, :, None], nbr_ids[np.clip(pairs, 0, None)], -1
+    )  # [NP, 2, K]
+    nbr_pairs = np.where(
+        mem_nbrs >= 0, pair_of[np.clip(mem_nbrs, 0, None)], -1
+    )
+    pair_nbrs = np.transpose(nbr_pairs, (0, 2, 1)).reshape(NP, 2 * K)
+    sub = match_groups(pair_nbrs.astype(np.int32), group // 2)
+    safe_sub = np.clip(sub, 0, None)
+    out = np.where((sub >= 0)[:, :, None], pairs[safe_sub], -1)
+    return out.reshape(sub.shape[0], group).astype(np.int32)
+
+
+def _match_pairs(nbr_ids: np.ndarray) -> np.ndarray:
+    """Greedy mutual-nearest pairing in rounds: each unmatched node proposes
+    to its nearest unmatched neighbor (neighbor rows are distance-sorted by
+    the merge); mutual proposals pair up. Leftovers merge pairwise in id
+    order. Returns [ceil(N/2), 2] i32 (-1 pad only for odd N)."""
+    N, K = nbr_ids.shape
     partner = np.full((N,), -1, np.int64)
     ids = np.arange(N, dtype=np.int64)
     for _ in range(8):
@@ -298,7 +329,28 @@ def make_adjacency(codes, x_hat_sq, nbr0, scale, zero) -> AdjacencyTables:
     )
 
 
-def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure, use_pallas):
+def _pack_meta(nbr_ids: jax.Array, nbr_sq: jax.Array) -> jax.Array:
+    """Lane-padded [NG, 2H] i32 rows: candidate ids in ``[:, :Kc]``, the f32
+    squared norms bitcast into ``[:, H:H+Kc]``.
+
+    The walk gathers one row per popped anchor per step. Gathering the raw
+    [NG, Kc] tables issues 96-192 B row fetches, which XLA:TPU executes
+    ~50x below the 512 B-row gather rate (the same pathology documented at
+    build/sym.py:_pad_rows_to_lanes); packing ids+norms into one >=128-lane
+    row makes it a single aligned >=512 B fetch. Computed once per query
+    tile -- loop-invariant, so XLA hoists it out of the sweep.
+    """
+    NG, Kc = nbr_ids.shape
+    H = max(64, -(-Kc // 64) * 64)
+    ids = jnp.pad(nbr_ids, ((0, 0), (0, H - Kc)), constant_values=EMPTY_ID)
+    sqb = jnp.pad(
+        jax.lax.bitcast_convert_type(nbr_sq, jnp.int32), ((0, 0), (0, H - Kc))
+    )
+    return jnp.concatenate([ids, sqb], axis=-1)
+
+
+def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, meta, measure,
+                use_pallas):
     """Distances from each row's query to its anchors' inline neighbors.
 
     anchors: [B, P] i32 (-1 = empty). Returns (ids [B, P*Kc], d [B, P*Kc])
@@ -307,7 +359,8 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure, use_pallas):
     tile collapse to a single fetch (the duplicate becomes an EMPTY block,
     which the Pallas kernel skips entirely). On TPU the fetch+dot runs as a
     Pallas kernel (ops/adjacency_pallas.py) that streams each block
-    HBM->VMEM and dots it in place.
+    HBM->VMEM and dots it in place; ids+norms come from one lane-padded
+    row gather (``meta``, see :func:`_pack_meta`).
     """
     B, P = anchors.shape
     Kc = index.cand_per_fetch
@@ -324,8 +377,11 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure, use_pallas):
         blocks = anchors
     safe_b = jnp.clip(blocks, 0, None)
     live = (blocks >= 0)[:, :, None]
-    ids = jnp.where(live, index.nbr_ids[safe_b], EMPTY_ID).reshape(B, P * Kc)
-    sq = jnp.where(live, index.nbr_sq[safe_b], jnp.inf).reshape(B, P * Kc)
+    H = meta.shape[1] // 2
+    rows = meta[safe_b]  # [B, P, 2H] -- ONE aligned row gather per anchor
+    ids = jnp.where(live, rows[..., :Kc], EMPTY_ID).reshape(B, P * Kc)
+    sq = jax.lax.bitcast_convert_type(rows[..., H : H + Kc], jnp.float32)
+    sq = jnp.where(live, sq, jnp.inf).reshape(B, P * Kc)
 
     # dot(q, x_hat) = (q * scale) . codes + q . zero
     qs = q_vecs * index.scale[None, :]
@@ -345,12 +401,13 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure, use_pallas):
     return ids, d
 
 
-def _fused_step(st, q_vecs, q_sq, index, measure, *, k_best, P, cap,
+def _fused_step(st, q_vecs, q_sq, index, meta, measure, *, k_best, P, cap,
                 use_pallas, merge_kernel):
     """One pop->fetch->filter->dedup->insert step of the quantized-adjacency
     walk (shared by the query engine and the construction merge)."""
     anchors, active, st = beam_pop(st, P, k_best)
-    ids, d = _code_dists(q_vecs, q_sq, anchors, index, measure, use_pallas)
+    ids, d = _code_dists(q_vecs, q_sq, anchors, index, meta, measure,
+                         use_pallas)
     crit = st.criteria(k_best)
     if merge_kernel:
         # one VMEM-resident kernel: criterion filter + dedup + sorted
@@ -409,6 +466,7 @@ def fused_best_first(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     steps = -(-max_iterations // P)
+    meta = _pack_meta(index.nbr_ids, index.nbr_sq)
 
     def cond(carry):
         st, it, alive = carry
@@ -417,7 +475,7 @@ def fused_best_first(
     def body(carry):
         st, it, _ = carry
         st, active = _fused_step(
-            st, q_vecs, q_sq, index, measure,
+            st, q_vecs, q_sq, index, meta, measure,
             k_best=k_best, P=P, cap=cap,
             use_pallas=use_pallas, merge_kernel=False,
         )
@@ -483,6 +541,7 @@ def _fused_query_tile(
     state = beam_insert(state, seed_ids, -neg_d, criteria=no_crit)
 
     steps = -(-max_iterations // P)
+    meta = _pack_meta(index.nbr_ids, index.nbr_sq)
 
     def cond(carry):
         st, it, alive = carry
@@ -492,7 +551,7 @@ def _fused_query_tile(
         st, it, _ = carry
         st = st._replace(xi=dyn(st))
         st, active = _fused_step(
-            st, q_vecs, q_sq, index, measure,
+            st, q_vecs, q_sq, index, meta, measure,
             k_best=k_query, P=P, cap=cap,
             use_pallas=use_pallas, merge_kernel=merge_kernel,
         )

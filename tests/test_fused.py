@@ -221,6 +221,37 @@ def test_grouped_index_same_results(built):
         assert len(np.unique(real)) == len(real)
 
 
+def test_group4_index_same_results(built):
+    """group=4 (pairs of graph-adjacent pairs) must keep walk recall; one
+    fetch serves four members' adjacency."""
+    base, query, cfg, graph, index1 = built
+    index4 = build_fused_index(jnp.asarray(base), graph, cfg, group=4)
+    assert index4.group == 4 and index4.k_build == cfg.KBuild
+    assert index4.cand_per_fetch == 4 * cfg.KBuild
+    # exact partition of the node set
+    m = np.asarray(index4.members)
+    flat = m[m >= 0]
+    assert sorted(flat.tolist()) == list(range(len(base)))
+    gof = np.asarray(index4.group_of)
+    for gid in (0, len(m) // 2, len(m) - 1):
+        for node in m[gid][m[gid] >= 0]:
+            assert gof[node] == gid
+    gt_ids, _ = bruteforce_knn(jnp.asarray(base), jnp.asarray(query), 10)
+    gt = np.asarray(gt_ids)
+    ids4, d4 = fused_query(
+        jnp.asarray(query), index4, jnp.asarray(base), 10, 0.64, 200,
+        pops_per_iter=8,
+    )
+    ids4 = np.asarray(ids4)
+    c1 = np.mean([gt[i, 0] in ids4[i] for i in range(len(gt))])
+    assert c1 >= 0.95, f"group=4 fused c@1={c1}"
+    for row_i, row_d in zip(ids4, np.asarray(d4)):
+        filled = row_d[np.isfinite(row_d)]
+        assert np.all(np.diff(filled) >= 0)
+        real = row_i[row_i >= 0]
+        assert len(np.unique(real)) == len(real)
+
+
 def test_grouped_index_validation(built):
     from ggnn_tpu.query.fused import fused_index_matches_graph
 
