@@ -25,7 +25,7 @@ from ggnn_tpu.dataset import (  # noqa: F401
     store_ivecs,
 )
 from ggnn_tpu.evaluator import Evaluation, Evaluator  # noqa: F401
-from ggnn_tpu.ggnn import GGNN, Results  # noqa: F401
+from ggnn_tpu.ggnn import GGNN, Results, ResultsFuture  # noqa: F401
 from ggnn_tpu.graph import Graph  # noqa: F401
 from ggnn_tpu.utils.logging import set_log_level  # noqa: F401
 

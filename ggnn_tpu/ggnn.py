@@ -43,7 +43,7 @@ from ggnn_tpu.query.fused import (
 )
 from ggnn_tpu.utils.logging import vlog
 
-__all__ = ["GGNN", "Results"]
+__all__ = ["GGNN", "Results", "ResultsFuture"]
 
 
 class Results(tuple):
@@ -78,6 +78,45 @@ def _as_array(data):
     if arr.dtype == np.float64:
         arr = arr.astype(np.float32)
     return arr
+
+
+@jax.jit
+def _pack_results_for_host(ids, dists):
+    """Stack (ids, dists) as one f32 array (ids bit-cast) so the host can
+    fetch both in a single D2H transfer; row 0 is viewed back as int32."""
+    return jnp.stack([jax.lax.bitcast_convert_type(ids, jnp.float32), dists])
+
+
+def _packable(ids, dists) -> bool:
+    return (
+        isinstance(ids, jax.Array)
+        and isinstance(dists, jax.Array)
+        and ids.dtype == jnp.int32
+        and dists.dtype == jnp.float32
+        and ids.shape == dists.shape
+    )
+
+
+def _split_packed(arr: np.ndarray) -> "Results":
+    return Results(arr[0].view(np.int32), arr[1])
+
+
+class ResultsFuture:
+    """Handle for an in-flight :meth:`GGNN.query_async` batch.
+
+    The compute was already dispatched (asynchronously) when this object was
+    created; the result D2H runs on the GGNN io thread pool. ``result()``
+    blocks until the host copy is complete and returns :class:`Results`."""
+
+    def __init__(self, resolve):
+        self._resolve = resolve
+        self._res = None
+
+    def result(self) -> Results:
+        if self._resolve is not None:
+            self._res = self._resolve()
+            self._resolve = None
+        return self._res
 
 
 class _Shard:
@@ -549,6 +588,67 @@ class GGNN:
 
         Engine tuning kwargs: ``pops_per_iter`` (row/fused),
         ``fetch_cap_fraction`` (row), ``num_seeds``/``rerank`` (fused)."""
+        partials = self._query_partials(
+            query, k_query, tau_query, max_iterations, measure,
+            engine=engine, **engine_kwargs,
+        )
+        return self._merge_results(partials, k_query)
+
+    def query_async(
+        self,
+        query,
+        k_query: int,
+        tau_query: float,
+        max_iterations: int = 400,
+        measure: DistanceMeasure | None = None,
+        *,
+        engine: str = "row",
+        **engine_kwargs,
+    ) -> ResultsFuture:
+        """Dispatch a query batch without waiting for the host copy.
+
+        Compute dispatch is asynchronous and the result D2H runs on the io
+        thread pool, so issuing batch i+1 immediately after batch i overlaps
+        i's device-to-host transfer with i+1's compute -- the TPU analog of
+        the reference's stream-pipelined shard queries
+        (src/ggnn/base/gpu_instance.cu:688-712). Returns a
+        :class:`ResultsFuture`; call ``.result()`` for the :class:`Results`.
+        """
+        partials = self._query_partials(
+            query, k_query, tau_query, max_iterations, measure,
+            engine=engine, **engine_kwargs,
+        )
+        merged = self._merge_on_device(partials, k_query)
+        if merged is None:
+            # multi-device host merge: run the whole (blocking) merge off the
+            # caller's thread
+            fut = self._io_pool().submit(
+                lambda: self._finalize_host(*self._merge_on_host(partials, k_query))
+            )
+            return ResultsFuture(fut.result)
+        ids, dists = merged
+        if self._return_results_on_device:
+            return ResultsFuture(lambda: Results(ids, dists))
+        if _packable(ids, dists):
+            packed = _pack_results_for_host(ids, dists)
+            fut = self._io_pool().submit(np.asarray, packed)
+            return ResultsFuture(lambda: _split_packed(fut.result()))
+        fut = self._io_pool().submit(
+            lambda: Results(np.asarray(ids), np.asarray(dists))
+        )
+        return ResultsFuture(fut.result)
+
+    def _query_partials(
+        self,
+        query,
+        k_query: int,
+        tau_query: float,
+        max_iterations: int,
+        measure: DistanceMeasure | None,
+        *,
+        engine: str,
+        **engine_kwargs,
+    ):
         if not self._shards:
             raise RuntimeError("no graph -- call build() or load() first")
         if k_query > MAX_KQUERY:
@@ -617,6 +717,8 @@ class GGNN:
             if shard.device not in query_dev_cache:
                 query_dev_cache[shard.device] = jax.device_put(query, shard.device)
             if engine == "fused":
+                # shard offset folded into the query program: a standalone
+                # jnp.where costs one extra relay round trip per shard
                 ids, dists = fused_query(
                     query_dev_cache[shard.device],
                     shard.ensure_fused_index(),
@@ -629,6 +731,7 @@ class GGNN:
                     pops_per_iter=kw["pops_per_iter"],
                     num_seeds=kw["num_seeds"],
                     rerank=kw["rerank"],
+                    shard_base=shard.shard_id * n_shard,
                 )
             else:
                 ids, dists = ann_query(
@@ -644,7 +747,8 @@ class GGNN:
                     pops_per_iter=kw["pops_per_iter"],
                     fetch_cap_fraction=kw["fetch_cap_fraction"],
                 )
-            ids = jnp.where(ids >= 0, ids + shard.shard_id * n_shard, ids)
+                if shard.shard_id:
+                    ids = jnp.where(ids >= 0, ids + shard.shard_id * n_shard, ids)
             partials.append((ids, dists))
             # overlap: prefetch the next non-resident shard (disk -> host ->
             # HBM) on the io pool while this shard's query computes
@@ -656,7 +760,7 @@ class GGNN:
 
         for fut in evict_futures:
             fut.result()
-        return self._merge_results(partials, k_query)
+        return partials
 
     def bf_query(
         self,
@@ -691,18 +795,28 @@ class GGNN:
     # --- result merging (result_merger.cpp:52-148) --------------------------
 
     def _merge_results(self, partials, k: int) -> Results:
+        merged = self._merge_on_device(partials, k)
+        if merged is not None:
+            return self._finalize(*merged)
+        return self._finalize_host(*self._merge_on_host(partials, k))
+
+    def _merge_on_device(self, partials, k: int):
+        """Device-side merge when all shards share one device; None when a
+        host merge is required (multi-device)."""
         if len(partials) == 1:
-            ids, dists = partials[0]
-            return self._finalize(ids, dists)
+            return partials[0]
         if len({s.device for s in self._shards}) == 1:
             # single device: concatenate + sorted top-k on device
             ids = jnp.concatenate([p[0] for p in partials], axis=1)
             dists = jnp.concatenate([p[1] for p in partials], axis=1)
             dists, order = jax.lax.top_k(-dists, k)
             ids = jnp.take_along_axis(ids, order, axis=1)
-            return self._finalize(ids, -dists)
-        # multi-device: merge on host (ResultMerger analog). Prefer the native
-        # multi-threaded k-way merger when the C++ runtime is built.
+            return ids, -dists
+        return None
+
+    def _merge_on_host(self, partials, k: int):
+        """Multi-device host merge (ResultMerger analog). Prefers the native
+        multi-threaded k-way merger when the C++ runtime is built."""
         try:
             from ggnn_tpu.native import merge as native_merge  # noqa: PLC0415
 
@@ -710,14 +824,13 @@ class GGNN:
                 ids = np.stack([np.asarray(p[0]) for p in partials])
                 dists = np.stack([np.asarray(p[1]) for p in partials])
                 # pad partial rows to k entries if a shard returned fewer
-                mids, mdists = native_merge.merge_topk_partials(ids, dists, k)
-                return self._finalize_host(mids, mdists)
+                return native_merge.merge_topk_partials(ids, dists, k)
         except Exception:
             pass
         ids = np.concatenate([np.asarray(p[0]) for p in partials], axis=1)
         dists = np.concatenate([np.asarray(p[1]) for p in partials], axis=1)
         order = np.argsort(dists, axis=1, kind="stable")[:, :k]
-        return self._finalize_host(
+        return (
             np.take_along_axis(ids, order, axis=1),
             np.take_along_axis(dists, order, axis=1),
         )
@@ -725,6 +838,12 @@ class GGNN:
     def _finalize(self, ids, dists) -> Results:
         if self._return_results_on_device:
             return Results(ids, dists)
+        # one D2H instead of two: each host read is a serialized relay round
+        # trip (~25-35 ms measured) while compute dispatches pipeline, so
+        # bitcast-pack (ids, dists) into a single array on device and split
+        # on the host by viewing the bits back
+        if _packable(ids, dists):
+            return _split_packed(np.asarray(_pack_results_for_host(ids, dists)))
         return Results(np.asarray(ids), np.asarray(dists))
 
     def _finalize_host(self, ids: np.ndarray, dists: np.ndarray) -> Results:

@@ -582,6 +582,50 @@ def _fused_query_tile(
     return i[:, :k_query], d[:, :k_query]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chunk_plan", "shard_base",
+        "width", "vis_size", "k_query", "measure", "max_iterations",
+        "pops_per_iter", "num_seeds", "rerank", "cap", "use_pallas",
+    ),
+)
+def _fused_query_chunks(
+    query,  # [Q, D] full query batch
+    index: FusedIndex,
+    base,
+    base_sq,
+    tau_query,
+    *,
+    chunk_plan,  # static tuple of (start, padded_rows) per chunk
+    shard_base: int,
+    **statics,
+):
+    """Chunk split + every chunk's walk + concat + tail slice + shard-id
+    offset as ONE program. The TPU relay charges a fixed round trip
+    (~10-25 ms) per dispatched program, so a 10k-query call issued as
+    [slice, pad, 8192-chunk, 2048-chunk, concat, offset] ops costs several
+    round trips of pure latency; fusing them recovers nearly all of it (the
+    reference pays one kernel launch per shard, query_kernels.cu:112-158)."""
+    Q = query.shape[0]
+    outs = []
+    for lo, tgt in chunk_plan:
+        qc = query[lo : min(lo + tgt, Q)]
+        pad = tgt - qc.shape[0]
+        if pad:
+            qc = jnp.pad(qc, ((0, pad), (0, 0)))
+        outs.append(
+            _fused_query_tile(qc, index, base, base_sq, tau_query, **statics)
+        )
+    ids = jnp.concatenate([o[0] for o in outs], axis=0)[:Q]
+    dists = jnp.concatenate([o[1] for o in outs], axis=0)[:Q]
+    if shard_base:
+        # global ids for multi-shard merges (query_layer.cu:81-90 writes
+        # on_gpu_shard_id * N_base offsets in-kernel)
+        ids = jnp.where(ids >= 0, ids + jnp.int32(shard_base), ids)
+    return ids, dists
+
+
 def fused_query(
     query: jax.Array,
     index: FusedIndex,
@@ -599,6 +643,7 @@ def fused_query(
     cap: int | None = None,
     vis_size: int | None = None,
     use_pallas: bool | None = None,
+    shard_base: int = 0,
 ):
     """Query one shard through its quantized-adjacency index.
 
@@ -632,27 +677,21 @@ def fused_query(
         # the Pallas fetch+dot kernel needs a real TPU (CPU tests and the
         # virtual multi-chip mesh lower it in interpret mode only)
         use_pallas = jax.default_backend() not in ("cpu",)
-    outs = []
+    # chunk plan: pad the tail chunk only to the next power of two (>= 256),
+    # not to the full chunk: 10k queries run as 8192 + 2048 instead of
+    # 8192 + 8192 -- the lock-step sweep pays for every padded row
     chunk = min(chunk, max(256, 1 << (Q - 1).bit_length()))
+    plan = []
     for lo in range(0, Q, chunk):
-        qc = query[lo : lo + chunk]
-        # pad the tail chunk only to the next power of two (>= 256), not to
-        # the full chunk: 10k queries run as 8192 + 2048 instead of 8192 +
-        # 8192 -- the lock-step sweep pays for every padded row
-        tgt = max(256, 1 << (qc.shape[0] - 1).bit_length())
-        pad = tgt - qc.shape[0]
-        if pad:
-            qc = jnp.pad(qc, ((0, pad), (0, 0)))
-        i, d = _fused_query_tile(
-            qc, index, base, base_sq, tau,
-            width=width, vis_size=vis_size, k_query=KQuery, measure=measure,
-            max_iterations=max_iterations, pops_per_iter=max(1, pops_per_iter),
-            num_seeds=num_seeds, rerank=rerank, cap=cap, use_pallas=use_pallas,
-        )
-        outs.append((i, d))
-    ids = jnp.concatenate([o[0] for o in outs], axis=0)[:Q]
-    dists = jnp.concatenate([o[1] for o in outs], axis=0)[:Q]
-    return ids, dists
+        rows = min(chunk, Q - lo)
+        plan.append((lo, max(256, 1 << (rows - 1).bit_length())))
+    return _fused_query_chunks(
+        query, index, base, base_sq, tau,
+        chunk_plan=tuple(plan), shard_base=shard_base,
+        width=width, vis_size=vis_size, k_query=KQuery, measure=measure,
+        max_iterations=max_iterations, pops_per_iter=max(1, pops_per_iter),
+        num_seeds=num_seeds, rerank=rerank, cap=cap, use_pallas=use_pallas,
+    )
 
 
 def fused_index_matches_graph(index: FusedIndex, graph, k_build: int) -> bool:

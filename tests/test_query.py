@@ -116,3 +116,33 @@ def test_large_k_query_and_device_results(engine, data):
         assert hasattr(ids_dev, "devices")
     finally:
         g.set_return_results_on_device(False)
+
+
+def test_query_async_matches_sync(engine, data):
+    """query_async must return bit-identical results to query(); multiple
+    in-flight futures pipeline the result D2H (gpu_instance.cu:688-712)."""
+    _, query = data
+    want_ids, want_dists = engine.query(query, 10, tau_query=0.7,
+                                        max_iterations=100)
+    futs = [
+        engine.query_async(query, 10, tau_query=0.7, max_iterations=100)
+        for _ in range(3)
+    ]
+    for fut in futs:
+        ids, dists = fut.result()
+        assert isinstance(ids, np.ndarray) and ids.dtype == np.int32
+        np.testing.assert_array_equal(ids, want_ids)
+        np.testing.assert_allclose(dists, want_dists, rtol=1e-6)
+        # .result() is idempotent
+        assert fut.result().ids is ids
+
+
+def test_query_async_device_results(engine, data):
+    _, query = data
+    engine.set_return_results_on_device()
+    try:
+        res = engine.query_async(query, 10, tau_query=0.7,
+                                 max_iterations=100).result()
+        assert hasattr(res.ids, "devices")
+    finally:
+        engine.set_return_results_on_device(False)
