@@ -568,6 +568,8 @@ class GGNN:
         "fetch_cap_fraction": (("row",), 0.75),
         "num_seeds": (("fused",), 16),
         "rerank": (("fused",), None),
+        "cap": (("fused",), None),
+        "chunk": (("fused",), 8192),
     }
 
     def query(
@@ -587,7 +589,8 @@ class GGNN:
         fastest).
 
         Engine tuning kwargs: ``pops_per_iter`` (row/fused),
-        ``fetch_cap_fraction`` (row), ``num_seeds``/``rerank`` (fused)."""
+        ``fetch_cap_fraction`` (row), ``num_seeds``/``rerank``/``cap``/
+        ``chunk`` (fused)."""
         partials = self._query_partials(
             query, k_query, tau_query, max_iterations, measure,
             engine=engine, **engine_kwargs,
@@ -731,6 +734,8 @@ class GGNN:
                     pops_per_iter=kw["pops_per_iter"],
                     num_seeds=kw["num_seeds"],
                     rerank=kw["rerank"],
+                    cap=kw["cap"],
+                    chunk=kw["chunk"],
                     shard_base=shard.shard_id * n_shard,
                 )
             else:
