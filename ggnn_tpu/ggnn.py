@@ -595,6 +595,8 @@ class GGNN:
             query, k_query, tau_query, max_iterations, measure,
             engine=engine, **engine_kwargs,
         )
+        if isinstance(partials, jax.Array):  # packed single-shard fast path
+            return _split_packed(np.asarray(partials))
         return self._merge_results(partials, k_query)
 
     def query_async(
@@ -621,6 +623,9 @@ class GGNN:
             query, k_query, tau_query, max_iterations, measure,
             engine=engine, **engine_kwargs,
         )
+        if isinstance(partials, jax.Array):  # packed single-shard fast path
+            fut = self._io_pool().submit(np.asarray, partials)
+            return ResultsFuture(lambda: _split_packed(fut.result()))
         merged = self._merge_on_device(partials, k_query)
         if merged is None:
             # multi-device host merge: run the whole (blocking) merge off the
@@ -718,11 +723,28 @@ class GGNN:
                 resident += 1
             self._stage_in(shard, engine)  # no-op when already resident
             if shard.device not in query_dev_cache:
-                query_dev_cache[shard.device] = jax.device_put(query, shard.device)
+                if (
+                    isinstance(query, jax.Array)
+                    and not query.is_deleted()
+                    and shard.device in query.devices()
+                ):
+                    # already resident on the right device: device_put would
+                    # still dispatch a copy through the relay (~25 ms/call)
+                    query_dev_cache[shard.device] = query
+                else:
+                    query_dev_cache[shard.device] = jax.device_put(
+                        query, shard.device
+                    )
             if engine == "fused":
                 # shard offset folded into the query program: a standalone
-                # jnp.where costs one extra relay round trip per shard
-                ids, dists = fused_query(
+                # jnp.where costs one extra relay round trip per shard.
+                # Single-shard host-bound queries additionally fold the
+                # (ids, dists) bitcast-pack into the same program: the whole
+                # call is ONE device program + ONE D2H.
+                pack = (
+                    len(order) == 1 and not self._return_results_on_device
+                )
+                out = fused_query(
                     query_dev_cache[shard.device],
                     shard.ensure_fused_index(),
                     shard.base_dev,
@@ -737,7 +759,13 @@ class GGNN:
                     cap=kw["cap"],
                     chunk=kw["chunk"],
                     shard_base=shard.shard_id * n_shard,
+                    pack_results=pack,
                 )
+                if pack:
+                    for fut in evict_futures:
+                        fut.result()
+                    return out
+                ids, dists = out
             else:
                 ids, dists = ann_query(
                     query_dev_cache[shard.device],

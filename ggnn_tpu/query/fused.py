@@ -585,7 +585,7 @@ def _fused_query_tile(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "chunk_plan", "shard_base",
+        "chunk_plan", "shard_base", "pack_results",
         "width", "vis_size", "k_query", "measure", "max_iterations",
         "pops_per_iter", "num_seeds", "rerank", "cap", "use_pallas",
     ),
@@ -599,6 +599,7 @@ def _fused_query_chunks(
     *,
     chunk_plan,  # static tuple of (start, padded_rows) per chunk
     shard_base: int,
+    pack_results: bool = False,
     **statics,
 ):
     """Chunk split + every chunk's walk + concat + tail slice + shard-id
@@ -623,6 +624,13 @@ def _fused_query_chunks(
         # global ids for multi-shard merges (query_layer.cu:81-90 writes
         # on_gpu_shard_id * N_base offsets in-kernel)
         ids = jnp.where(ids >= 0, ids + jnp.int32(shard_base), ids)
+    if pack_results:
+        # single-program host handoff: bitcast-stack (ids, dists) so the
+        # caller fetches both in ONE D2H with no separate packing program
+        # (each extra program costs a serialized relay round trip)
+        return jnp.stack(
+            [jax.lax.bitcast_convert_type(ids, jnp.float32), dists]
+        )
     return ids, dists
 
 
@@ -644,6 +652,7 @@ def fused_query(
     vis_size: int | None = None,
     use_pallas: bool | None = None,
     shard_base: int = 0,
+    pack_results: bool = False,
 ):
     """Query one shard through its quantized-adjacency index.
 
@@ -651,7 +660,9 @@ def fused_query(
     max_iterations -- the total anchor-pop budget, ggnn.cuh:144-155).
 
     Returns (ids [Q, KQuery] i32 shard-local, dists [Q, KQuery] f32 exact),
-    rows sorted ascending.
+    rows sorted ascending. With ``pack_results=True`` returns instead ONE
+    [2, Q, KQuery] f32 array (row 0 = ids bit-cast) for a single-D2H host
+    handoff.
     """
     measure = DistanceMeasure(measure)
     width, vis_default = GraphConfig.query_beam_geometry(KQuery, max_iterations)
@@ -688,6 +699,7 @@ def fused_query(
     return _fused_query_chunks(
         query, index, base, base_sq, tau,
         chunk_plan=tuple(plan), shard_base=shard_base,
+        pack_results=pack_results,
         width=width, vis_size=vis_size, k_query=KQuery, measure=measure,
         max_iterations=max_iterations, pops_per_iter=max(1, pops_per_iter),
         num_seeds=num_seeds, rerank=rerank, cap=cap, use_pallas=use_pallas,
