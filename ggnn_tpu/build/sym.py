@@ -250,6 +250,7 @@ def _insert_requests(
     return sym_buffer, sym_atomic, assigned
 
 
+@functools.partial(jax.jit, static_argnames=("KL", "KF"), donate_argnums=(1,))
 def _sym_buffer_merge(nbrs, sym_buffer, sym_atomic, *, KL: int, KF: int):
     """Merge requested inverse links into the graph's foreign slots
     (sym_buffer_merge_layer.cu:36-99)."""
@@ -378,7 +379,8 @@ def _bulk_requests(
     prio,  # [M] f32 priority (distance n->s; closer sources win slots)
     sym_buffer,
     sym_atomic,
-    need,  # [M] bool -- rows that want an inverse link
+    connected,  # [M] bool -- rows already symmetric (no request needed)
+    n_valid,  # scalar -- rows beyond this index are padding
     *,
     KF: int,
 ):
@@ -389,8 +391,13 @@ def _bulk_requests(
     first-come atomicAdd race, sym_query_layer.cu:124-141); each row tries
     its preference hosts in order until one has capacity. Returns the
     updated request state plus the per-row accept mask (rejects walk in
-    phase iii)."""
+    phase iii).
+
+    ``n_valid`` is a *dynamic* scalar on purpose: baking the live row count
+    into the program as a constant would recompile it every pass (each
+    remote compile costs 30-250 s on the relay; the compute is ~0.4 s)."""
     M = pref.shape[0]
+    need = ~connected & (jnp.arange(M) < n_valid)
     order = jnp.argsort(jnp.where(need, prio, jnp.inf))
     sym_buffer, sym_atomic, assigned = _insert_requests(
         pref[order],
@@ -546,11 +553,16 @@ def sym_pass(
 
     if mode in ("hybrid", "bulk") and len(rows):
         # phase ii: chunked first-expansion filter, then one bulk proposal.
-        # Chunk width follows a power-of-two ladder so small layers do not
-        # pad up to full-width filter programs.
-        C = min(1 << 16, max(4096, 1 << (len(rows) - 1).bit_length()))
-        num_f_chunks = -(-len(rows) // C)
-        rows_pad = np.full((num_f_chunks * C,), -1, np.int32)
+        # The row list is padded to a power of two so every pass whose row
+        # count lands in the same pow2 bucket reuses the SAME program
+        # shapes: each distinct shape costs a 30-250 s remote compile while
+        # the steady-state compute is <1.5 s (measured at 262k: per-pass
+        # sym[0] 50-107 s with churning shapes, ~3 s warm), and the filter
+        # chunk ladder keeps small layers off full-width programs.
+        R_pad = max(4096, 1 << (len(rows) - 1).bit_length())
+        C = min(1 << 16, R_pad)
+        num_f_chunks = R_pad // C
+        rows_pad = np.full((R_pad,), -1, np.int32)
         rows_pad[: len(rows)] = rows
         nbrs_wide = _pad_rows_to_lanes(nbrs, KL)
         conn_parts, dq0_parts, n_parts, pref_parts = [], [], [], []
@@ -576,19 +588,21 @@ def sym_pass(
             if (c + 1) % 4 == 0:
                 hard_sync(conn)
         connected = jnp.concatenate(conn_parts)
-        valid = ~connected & (jnp.arange(len(rows_pad)) < len(rows))
         sym_buffer, sym_atomic, accept = _bulk_requests(
             jnp.concatenate(pref_parts),
             jnp.concatenate(n_parts),
             jnp.concatenate(dq0_parts),
             sym_buffer,
             sym_atomic,
-            valid,
+            connected,
+            len(rows),
             KF=KF,
         )
         accept_host = np.asarray(accept)
-        valid_host = np.asarray(valid)
-        bulk_connected = int(np.asarray(connected)[: len(rows)].sum())
+        conn_host = np.asarray(connected)
+        valid_host = ~conn_host
+        valid_host[len(rows):] = False
+        bulk_connected = int(conn_host[: len(rows)].sum())
         bulk_accepted = int(accept_host.sum())
         # phase iii residual: valid rows whose direct target was full
         rows = rows_pad[valid_host & ~accept_host]
