@@ -55,6 +55,7 @@ class _BuildContext:
             cfg.N * cfg.KBuild * cfg.D <= 6 << 30
         )
         self._codes = None
+        self._quant_ok = None
         L = cfg.L
         self.neighbors = [
             jnp.full((cfg.Ns[l], cfg.KBuild), -1, jnp.int32) for l in range(L)
@@ -71,10 +72,30 @@ class _BuildContext:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def _layer0_adjacency(self):
-        """Inline the current layer-0 neighborhoods as quantized code
-        blocks (rebuilt per merge pass -- the read-side graph changes)."""
-        from ggnn_tpu.query.fused import fit_affine_u8, _encode_u8, make_adjacency
+    def _layer_adjacency(self, layer: int):
+        """Inline one layer's current neighborhoods as quantized code
+        blocks (rebuilt per merge pass -- the read-side graph changes).
+
+        Layer > 0 tables address the layer-local id space (the layer graphs
+        are layer-local, graph.cuh:57-63); their inline codes come from the
+        translated base vectors, so the descent's best-first loop at every
+        layer fetches one contiguous code block per popped anchor instead
+        of per-candidate 512 B f32 rows (measured at 262k: the layer-1
+        descent leg alone cost more than the whole layer-0 search)."""
+        from ggnn_tpu.query.fused import make_adjacency
+
+        self._ensure_codes()
+        if layer == 0:
+            codes, sq = self._codes, self._x_hat_sq
+        else:
+            tr = self.translation[layer]
+            codes, sq = self._codes[tr], self._x_hat_sq[tr]
+        return make_adjacency(
+            codes, sq, self.neighbors[layer], self._scale, self._zero,
+        )
+
+    def _ensure_codes(self):
+        from ggnn_tpu.query.fused import fit_affine_u8, _encode_u8
         import numpy as np
         from ggnn_tpu.ops.distance import squared_norms as _sq
 
@@ -93,10 +114,39 @@ class _BuildContext:
                 self._codes.astype(jnp.float32) * self._scale[None, :]
                 + self._zero[None, :]
             )
-        return make_adjacency(
-            self._codes, self._x_hat_sq, self.neighbors[0],
-            self._scale, self._zero,
-        )
+
+    def _quant_usable(self) -> bool:
+        """Whether the u8 walk metric is sane for this data.
+
+        The affine fit uses per-dimension min/max, so one heavy-tailed
+        dimension can inflate the quantization step until walk distances are
+        noise. Guard: if the mean dequantization error is comparable to the
+        mean 1-NN distance, fall back to the exact f32 fetch (and say so).
+        Euclidean only -- nn1_stats are cosine distances under Cosine, where
+        no comparable scale exists; uint8 input is exact by construction."""
+        if self._quant_ok is None:
+            if self.measure != DistanceMeasure.Euclidean:
+                self._quant_ok = True
+            else:
+                sample = min(4096, self.cfg.N)
+                x = self.base[:sample].astype(jnp.float32)
+                x_hat = (
+                    self._codes[:sample].astype(jnp.float32) * self._scale
+                    + self._zero
+                )
+                err = float(jnp.mean(jnp.linalg.norm(x - x_hat, axis=-1)))
+                nn1_mean = float(self.nn1_stats[0])
+                self._quant_ok = nn1_mean <= 0.0 or err < 0.5 * nn1_mean
+                if not self._quant_ok:
+                    vlog(
+                        0,
+                        "quantized fetch disabled: mean dequantization error "
+                        "%.3g vs mean 1-NN distance %.3g -- building with "
+                        "exact f32 fetches instead",
+                        err,
+                        nn1_mean,
+                    )
+        return self._quant_ok
 
     # --- schedule steps ---------------------------------------------------
 
@@ -124,9 +174,20 @@ class _BuildContext:
 
     def merge_descend(self, layer_top: int, layer_btm: int):
         name = f"merge[{layer_top}->{layer_btm}]"
-        adj = None
-        if layer_btm == 0 and self.quantized_fetch:
-            adj = self._layer0_adjacency()
+        adjs = None
+        if self.quantized_fetch:
+            self._ensure_codes()
+            if self._quant_usable():
+                # every layer the descent searches (layer_top-1 .. layer_btm)
+                # gets an inline-code adjacency
+                adjs = tuple(
+                    self._layer_adjacency(l)
+                    if layer_btm <= l < layer_top
+                    else None
+                    for l in range(self.cfg.L)
+                )
+            else:
+                self.quantized_fetch = False  # don't re-check every pass
         with self.timer.phase(name, self.cfg.Ns[layer_btm]) as r:
             nbrs, nn1 = merge_layer(
                 self.base,
@@ -141,7 +202,7 @@ class _BuildContext:
                 self.measure,
                 self.tau_build,
                 chunk=self.chunk,
-                adj=adj,
+                adjs=adjs,
                 use_pallas=jax.default_backend() not in ("cpu",),
             )
             self.neighbors[layer_btm] = nbrs

@@ -165,3 +165,29 @@ def test_build_deterministic(base, cfg):
         np.testing.assert_array_equal(
             np.asarray(g1.neighbors[l]), np.asarray(g2.neighbors[l])
         )
+
+
+def test_quantizer_guard_falls_back_on_heavy_tails():
+    """A single outlier dimension must disable the u8 walk metric
+    (ADVICE round 1: min/max affine fit + heavy tails = noise distances)."""
+    from ggnn_tpu.build.construction import _BuildContext
+
+    rng = np.random.default_rng(0)
+    data = rng.random((1024, 32)).astype(np.float32)
+    cfg = GraphConfig.create(1024, 32, 12)
+
+    ctx = _BuildContext(
+        jnp.asarray(data), cfg, DistanceMeasure.Euclidean, 0.5, 1234, 1024
+    )
+    ctx.nn1_stats = jnp.asarray([0.5, 1.0], jnp.float32)
+    ctx._ensure_codes()
+    assert ctx._quant_usable()  # well-conditioned data passes
+
+    bad = data.copy()
+    bad[:, 0] *= 1e6  # one heavy-tailed dimension
+    ctx2 = _BuildContext(
+        jnp.asarray(bad), cfg, DistanceMeasure.Euclidean, 0.5, 1234, 1024
+    )
+    ctx2.nn1_stats = jnp.asarray([0.5, 1.0], jnp.float32)
+    ctx2._ensure_codes()
+    assert not ctx2._quant_usable()  # dequantization error >> 1-NN distance
