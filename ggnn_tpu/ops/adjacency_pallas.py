@@ -167,6 +167,11 @@ def adjacency_dot(
     back to the XLA path otherwise.
     """
     B, D = qs.shape
-    if B % qt or D % 128:
+    P = anchors.shape[1]
+    # the scalar-prefetch anchor array lives in SMEM (1 MiB on v5e):
+    # B*P*4 bytes must leave headroom for the kernel's own scalars, or
+    # XLA:TPU fails the whole compile ("Ran out of memory in memory space
+    # smem" -- hit at B=8192, P=32)
+    if B % qt or D % 128 or B * P * 4 > (1 << 20) - (8 << 10):
         return adjacency_dot_xla(qs, anchors, nbr_codes)
     return _adjacency_dot_tpu(qs, anchors, nbr_codes, qt=qt, interpret=interpret)
