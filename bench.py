@@ -44,6 +44,14 @@ from ggnn_tpu import GGNN, Evaluator, set_log_level
 
 BASELINE_QPS = 500_000.0
 
+# Bump whenever the construction path changes materially: the cached graph's
+# recorded build time would otherwise go stale (round-2 shipped a 680 s
+# number recorded before the shape-stable sym + quantized-descent landed).
+# A version mismatch forces a fresh build so the reported build_s always
+# reflects the current code.
+BUILD_PATH_VERSION = 3
+DATASET_SEED = 0
+
 
 def make_dataset(n, nq, d=128, d_latent=24, seed=0):
     """SIFT-like synthetic vectors: uint8-range, low intrinsic dimension.
@@ -119,7 +127,7 @@ def main():
     profile_dir = os.environ.get("GGNN_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    base, query = make_dataset(n, nq)
+    base, query = make_dataset(n, nq, seed=DATASET_SEED)
 
     g = GGNN()
     g.set_base(base)
@@ -129,18 +137,27 @@ def main():
     # measured when the graph was actually built), which keeps the headline
     # measurement about the engine rather than relay/compile luck.
     # GGNN_BENCH_CACHE= (empty) disables caching.
+    # the 1M case keeps its documented historical directory name
+    cache_name = ".bench_graph_1m" if n == 1_000_000 else f".bench_graph_{n}"
     cache_dir = os.environ.get(
         "GGNN_BENCH_CACHE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     f".bench_graph_{n}"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), cache_name),
     ) or None
     meta_path = os.path.join(cache_dir, "bench_meta.json") if cache_dir else None
+    meta_now = {
+        "n": n,
+        "k_build": k_build,
+        "tau_build": tau_build,
+        "dataset_seed": DATASET_SEED,
+        "build_version": BUILD_PATH_VERSION,
+    }
     cached = None
     if meta_path and os.path.exists(meta_path):
         with open(meta_path) as f:
             cached = json.load(f)
-        if cached.get("n") != n or cached.get("k_build") != k_build:
-            cached = None  # stale cache from a different config -- rebuild
+        # ANY config/build-path mismatch means stale -- rebuild
+        if any(cached.get(k) != v for k, v in meta_now.items()):
+            cached = None
     if cached is not None:
         g.set_working_directory(cache_dir)
         g.load(k_build)
@@ -170,9 +187,11 @@ def main():
             g.set_working_directory(cache_dir)
             g.store()
             with open(meta_path, "w") as f:
-                json.dump({"n": n, "k_build": k_build, "build_s": build_s}, f)
+                json.dump(dict(meta_now, build_s=build_s), f)
 
-    gt_path = os.path.join(cache_dir, "gt.npy") if cache_dir else None
+    # GT depends on the query set size -- name it per nq so a changed
+    # GGNN_BENCH_NQ can never silently reuse a mismatched ground truth
+    gt_path = os.path.join(cache_dir, f"gt_{nq}.npy") if cache_dir else None
     if gt_path and cached is not None and os.path.exists(gt_path):
         gt_ids = np.load(gt_path)
         print("# brute force: cached", file=sys.stderr)

@@ -1,3 +1,3 @@
 """Graph construction pipeline (top-merge, select, merge, sym)."""
 
-from ggnn_tpu.build.construction import build_graph, refine_graph  # noqa: F401
+from ggnn_tpu.build.construction import build_graph  # noqa: F401

@@ -33,7 +33,7 @@ from ggnn_tpu.ops.distance import squared_norms
 from ggnn_tpu.utils.logging import vlog
 from ggnn_tpu.utils.timing import PhaseTimer
 
-__all__ = ["build_graph", "refine_graph"]
+__all__ = ["build_graph"]
 
 
 class _BuildContext:
@@ -310,24 +310,3 @@ def build_graph(
     return graph, stats
 
 
-def refine_graph(
-    base: jax.Array,
-    graph: Graph,
-    cfg: GraphConfig,
-    tau_build: float,
-    measure: DistanceMeasure = DistanceMeasure.Euclidean,
-    chunk: int = 8192,
-    quantized_fetch: bool = True,
-) -> Graph:
-    """One extra refinement sweep over an existing graph."""
-    ctx = _BuildContext(base, cfg, measure, tau_build, seed=1234, chunk=chunk,
-                        quantized_fetch=quantized_fetch)
-    ctx.neighbors = list(graph.neighbors)
-    ctx.selection = list(graph.selection)
-    ctx.translation = list(graph.translation)
-    ctx.nn1_stats = graph.nn1_stats
-    ctx.nn1_dist[0] = jnp.zeros((cfg.N,), jnp.float32)
-    for layer in range(cfg.L - 2, -1, -1):
-        ctx.merge(cfg.L - 1, layer)
-        ctx.sym(layer)
-    return ctx.to_graph()

@@ -858,8 +858,16 @@ class GGNN:
                 dists = np.stack([np.asarray(p[1]) for p in partials])
                 # pad partial rows to k entries if a shard returned fewer
                 return native_merge.merge_topk_partials(ids, dists, k)
-        except Exception:
-            pass
+        except Exception:  # fall through to the numpy merge -- but LOUDLY:
+            # a silent fallback would mask a wrong-result bug in the C++
+            # merger in production while tests (which call it directly)
+            # stay green
+            import logging  # noqa: PLC0415
+
+            logging.getLogger("ggnn_tpu").warning(
+                "native result merger failed; falling back to numpy merge",
+                exc_info=True,
+            )
         ids = np.concatenate([np.asarray(p[0]) for p in partials], axis=1)
         dists = np.concatenate([np.asarray(p[1]) for p in partials], axis=1)
         order = np.argsort(dists, axis=1, kind="stable")[:, :k]

@@ -42,7 +42,6 @@ import numpy as np
 from ggnn_tpu.config import DistanceMeasure, GraphConfig
 from ggnn_tpu.graph import Graph
 from ggnn_tpu.ops.adjacency_pallas import adjacency_dot, adjacency_dot_xla
-from ggnn_tpu.ops.merge_pallas import fused_merge
 from ggnn_tpu.ops.beam import (
     beam_dedup_mask,
     beam_init,
@@ -402,41 +401,28 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, meta, measure,
 
 
 def _fused_step(st, q_vecs, q_sq, index, meta, measure, *, k_best, P, cap,
-                use_pallas, merge_kernel):
+                use_pallas):
     """One pop->fetch->filter->dedup->insert step of the quantized-adjacency
-    walk (shared by the query engine and the construction merge)."""
+    walk (shared by the query engine and the construction merge).
+
+    Distances are free here (computed from the inline codes), so the
+    admission criterion filters BEFORE the expensive dedup/merge: keep only
+    the best ``cap`` candidates below best+xi, sorted. (A VMEM-resident
+    Pallas filter+dedup+merge kernel was built and measured 5.8x slower than
+    this XLA pipeline -- see docs/design.md "Candidate merge"; XLA's fused
+    sort pipeline is already near VPU-bound.)"""
     anchors, active, st = beam_pop(st, P, k_best)
     ids, d = _code_dists(q_vecs, q_sq, anchors, index, meta, measure,
                          use_pallas)
     crit = st.criteria(k_best)
-    if merge_kernel:
-        # one VMEM-resident kernel: criterion filter + dedup + sorted
-        # merge (ops/merge_pallas.py); no cap truncation needed.
-        # MEASURED SLOWER than the XLA pipeline at B=8192 (7.5 vs 1.3
-        # ms/step): VMEM limits force small row tiles and XLA's fused
-        # sort pipeline is already near VPU-bound -- kept for further
-        # work on packed-key sorting, off by default.
-        ip = jnp.where(st.i == EMPTY_ID, -2, st.i * 2 + st.exp)
-        nd, nip = fused_merge(ids, d, st.d, ip, st.vis, crit)
-        m = active[:, None]
-        st = st._replace(
-            d=jnp.where(m, nd, st.d),
-            i=jnp.where(m, nip >> 1, st.i),
-            exp=jnp.where(m, (nip & 1) == 1, st.exp),
-        )
-    else:
-        # XLA pipeline: distances are free here (computed from the
-        # inline codes), so the admission criterion filters BEFORE the
-        # expensive dedup/merge: keep only the best ``cap`` candidates
-        # below best+xi, sorted
-        d = jnp.where((ids != EMPTY_ID) & (d < crit[:, None]), d, EMPTY_DIST)
-        ids = jnp.where(jnp.isfinite(d), ids, EMPTY_ID)
-        if cap < d.shape[1]:
-            d, ids = jax.lax.sort((d, ids), dimension=-1, num_keys=1)
-            d, ids = d[:, :cap], ids[:, :cap]
-        ok = beam_dedup_mask(st, ids)
-        ids = jnp.where(ok, ids, EMPTY_ID)
-        st = beam_insert(st, ids, d, row_mask=active, criteria=crit)
+    d = jnp.where((ids != EMPTY_ID) & (d < crit[:, None]), d, EMPTY_DIST)
+    ids = jnp.where(jnp.isfinite(d), ids, EMPTY_ID)
+    if cap < d.shape[1]:
+        d, ids = jax.lax.sort((d, ids), dimension=-1, num_keys=1)
+        d, ids = d[:, :cap], ids[:, :cap]
+    ok = beam_dedup_mask(st, ids)
+    ids = jnp.where(ok, ids, EMPTY_ID)
+    st = beam_insert(st, ids, d, row_mask=active, criteria=crit)
     return st, active
 
 
@@ -476,8 +462,7 @@ def fused_best_first(
         st, it, _ = carry
         st, active = _fused_step(
             st, q_vecs, q_sq, index, meta, measure,
-            k_best=k_best, P=P, cap=cap,
-            use_pallas=use_pallas, merge_kernel=False,
+            k_best=k_best, P=P, cap=cap, use_pallas=use_pallas,
         )
         return st, it + 1, jnp.any(active)
 
@@ -492,7 +477,6 @@ def fused_best_first(
     static_argnames=(
         "width", "vis_size", "k_query", "measure", "max_iterations",
         "pops_per_iter", "num_seeds", "rerank", "cap", "use_pallas",
-        "merge_kernel",
     ),
 )
 def _fused_query_tile(
@@ -512,7 +496,6 @@ def _fused_query_tile(
     rerank: int,
     cap: int,
     use_pallas: bool = False,
-    merge_kernel: bool = False,
 ):
     B, D = q_vecs.shape
     P = pops_per_iter
@@ -552,8 +535,7 @@ def _fused_query_tile(
         st = st._replace(xi=dyn(st))
         st, active = _fused_step(
             st, q_vecs, q_sq, index, meta, measure,
-            k_best=k_query, P=P, cap=cap,
-            use_pallas=use_pallas, merge_kernel=merge_kernel,
+            k_best=k_query, P=P, cap=cap, use_pallas=use_pallas,
         )
         return st, it + 1, jnp.any(active)
 

@@ -41,47 +41,6 @@ def test_adjacency_dot_unaligned_falls_back():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-2)
 
 
-def test_fused_merge_matches_numpy_oracle():
-    from ggnn_tpu.ops.merge_pallas import fused_merge, fused_merge_xla
-
-    rng = np.random.default_rng(1)
-    B, C, W, V, N = 8, 192, 64, 192, 400
-    cand_i = rng.integers(-1, N, (B, C)).astype(np.int32)
-    cand_d = (rng.integers(0, 30, (B, C)) / 4.0).astype(np.float32)  # ties
-    beam_i = np.sort(rng.choice(N, (B, W), replace=True), -1).astype(np.int32)
-    beam_exp = rng.integers(0, 2, (B, W)).astype(np.int32)
-    beam_d = np.sort((rng.integers(0, 30, (B, W)) / 4.0).astype(np.float32), -1)
-    beam_ip = beam_i * 2 + beam_exp
-    vis = rng.integers(-1, N, (B, V)).astype(np.int32)
-    crit = np.full((B,), 5.0, np.float32)
-
-    # independent oracle: python sets + sorted pool truncation
-    ref_d = np.empty((B, W), np.float32)
-    ref_ip = np.empty((B, W), np.int64)
-    for b in range(B):
-        seen = set((beam_ip[b] >> 1).tolist()) | set(vis[b].tolist())
-        pool = list(zip(beam_d[b].tolist(), beam_ip[b].tolist()))
-        got = set()
-        for j in range(C):
-            i = int(cand_i[b, j])
-            d = float(cand_d[b, j])
-            if i < 0 or d >= crit[b] or i in seen or i in got:
-                continue
-            got.add(i)
-            pool.append((d, i * 2))
-        pool.sort()
-        ref_d[b] = [p[0] for p in pool[:W]]
-        ref_ip[b] = [p[1] for p in pool[:W]]
-
-    args = tuple(map(jnp.asarray, (cand_i, cand_d, beam_d, beam_ip, vis, crit)))
-    for od, oip in (
-        fused_merge_xla(*args),
-        fused_merge(*args, rows=8, interpret=True),
-    ):
-        np.testing.assert_array_equal(np.asarray(od), ref_d)
-        np.testing.assert_array_equal(np.asarray(oip), ref_ip.astype(np.int32))
-
-
 def test_fused_query_pallas_flag_cpu():
     # the fused tile with use_pallas resolving on CPU must pick the XLA path
     # and produce identical results to the explicit XLA flag
