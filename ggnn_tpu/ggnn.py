@@ -570,6 +570,7 @@ class GGNN:
         "rerank": (("fused",), None),
         "cap": (("fused",), None),
         "chunk": (("fused",), 8192),
+        "compact_levels": (("fused",), 2),
     }
 
     def query(
@@ -758,6 +759,7 @@ class GGNN:
                     rerank=kw["rerank"],
                     cap=kw["cap"],
                     chunk=kw["chunk"],
+                    compact_levels=kw["compact_levels"],
                     shard_base=shard.shard_id * n_shard,
                     pack_results=pack,
                 )

@@ -477,6 +477,7 @@ def fused_best_first(
     static_argnames=(
         "width", "vis_size", "k_query", "measure", "max_iterations",
         "pops_per_iter", "num_seeds", "rerank", "cap", "use_pallas",
+        "compact_levels",
     ),
 )
 def _fused_query_tile(
@@ -496,6 +497,7 @@ def _fused_query_tile(
     rerank: int,
     cap: int,
     use_pallas: bool = False,
+    compact_levels: int = 0,
 ):
     B, D = q_vecs.shape
     P = pops_per_iter
@@ -526,26 +528,62 @@ def _fused_query_tile(
     steps = -(-max_iterations // P)
     meta = _pack_meta(index.nbr_ids, index.nbr_sq)
 
-    def cond(carry):
-        st, it, alive = carry
-        return (it < steps) & alive
+    # --- converged-row compaction (the lock-step tile's dominant waste) ---
+    # Rows walk independently, so the sweep runs in PHASES of statically
+    # halving row counts: the full tile steps until the live-row count fits
+    # in half the tile, then the live rows are compacted into a [B/2]-row
+    # sub-tile that keeps stepping, and so on. Every non-converged row still
+    # receives its full pop budget, so results are BIT-IDENTICAL to the
+    # single-phase sweep -- but converged rows stop paying the per-step
+    # sort/merge cost the moment the stragglers fit a smaller tile. This
+    # recovers the reference's free per-block exit (query_layer.cu:57-79:
+    # each CUDA block simply returns when its queue empties).
+    caps = [B]
+    for _ in range(max(0, compact_levels)):
+        if caps[-1] // 2 >= 256:  # tiles below 256 rows underfill the VPU
+            caps.append(caps[-1] // 2)
 
-    def body(carry):
-        st, it, _ = carry
-        st = st._replace(xi=dyn(st))
-        st, active = _fused_step(
-            st, q_vecs, q_sq, index, meta, measure,
-            k_best=k_query, P=P, cap=cap, use_pallas=use_pallas,
-        )
-        return st, it + 1, jnp.any(active)
+    def run_phase(st, q, qs, it, live, min_live):
+        def cond(carry):
+            _st, it_, live_ = carry
+            return (it_ < steps) & (jnp.sum(live_) > min_live)
 
-    state, _, _ = jax.lax.while_loop(
-        cond, body, (state, jnp.int32(0), jnp.bool_(True))
-    )
+        def body(carry):
+            st_, it_, _ = carry
+            st_ = st_._replace(xi=dyn(st_))
+            st_, active = _fused_step(
+                st_, q, qs, index, meta, measure,
+                k_best=k_query, P=P, cap=cap, use_pallas=use_pallas,
+            )
+            return st_, it_ + 1, active
+
+        return jax.lax.while_loop(cond, body, (st, it, live))
+
+    live = jnp.ones((B,), bool)
+    it = jnp.int32(0)
+    st, q, qs = state, q_vecs, q_sq
+    idx = jnp.arange(B, dtype=jnp.int32)  # original row of each tile row
+    result_i = None  # full-size candidate ids (all the re-rank needs)
+    for pi, rows in enumerate(caps):
+        next_min = caps[pi + 1] if pi + 1 < len(caps) else 0
+        if pi:
+            # stable sort brings live rows to the front in original order;
+            # phase pi-1 exited with <= ``rows`` live rows (or out of budget,
+            # in which case the loops below run zero iterations)
+            key = (~live).astype(jnp.int32)
+            pos_ = jnp.arange(live.shape[0], dtype=jnp.int32)
+            _, order = jax.lax.sort(
+                (key, pos_), dimension=-1, num_keys=1, is_stable=True
+            )
+            sel = order[:rows]
+            st = jax.tree.map(lambda a: a[sel], st)
+            q, qs, live, idx = q[sel], qs[sel], live[sel], idx[sel]
+        st, it, live = run_phase(st, q, qs, it, live, next_min)
+        result_i = st.i if result_i is None else result_i.at[idx].set(st.i)
 
     # --- exact re-rank of the top survivors (one small f32 gather) ---
     R = min(rerank, width)
-    cand = state.i[:, :R]
+    cand = result_i[:, :R]
     safe = jnp.clip(cand, 0, None)
     vecs = base[safe].astype(jnp.float32)  # [B, R, D]
     dot = jnp.einsum(
@@ -570,6 +608,7 @@ def _fused_query_tile(
         "chunk_plan", "shard_base", "pack_results",
         "width", "vis_size", "k_query", "measure", "max_iterations",
         "pops_per_iter", "num_seeds", "rerank", "cap", "use_pallas",
+        "compact_levels",
     ),
 )
 def _fused_query_chunks(
@@ -635,6 +674,7 @@ def fused_query(
     use_pallas: bool | None = None,
     shard_base: int = 0,
     pack_results: bool = False,
+    compact_levels: int = 2,
 ):
     """Query one shard through its quantized-adjacency index.
 
@@ -649,7 +689,14 @@ def fused_query(
     measure = DistanceMeasure(measure)
     width, vis_default = GraphConfig.query_beam_geometry(KQuery, max_iterations)
     if vis_size is None:
-        vis_size = vis_default
+        # the ring records one id per pop; with capacity >= the total pop
+        # budget it NEVER wraps, so shrinking it to the budget is exactly
+        # semantics-preserving while halving the dedup scan width at small
+        # budgets (the reference sizes its cache for the worst case,
+        # query_kernels.cu:77-110 -- here jit re-specializes per budget)
+        P_ = max(1, pops_per_iter)
+        total_pops = -(-max_iterations // P_) * P_
+        vis_size = min(vis_default, max(32, -(-total_pops // 32) * 32))
     if base_sq is None:
         base_sq = squared_norms(base)
     if rerank is None:
@@ -685,6 +732,7 @@ def fused_query(
         width=width, vis_size=vis_size, k_query=KQuery, measure=measure,
         max_iterations=max_iterations, pops_per_iter=max(1, pops_per_iter),
         num_seeds=num_seeds, rerank=rerank, cap=cap, use_pallas=use_pallas,
+        compact_levels=max(0, compact_levels),
     )
 
 

@@ -265,3 +265,33 @@ def test_grouped_index_validation(built):
     base_p = base[perm]
     graph_p, _ = build_graph(jnp.asarray(base_p), cfg, 0.5, refinement_iterations=0)
     assert not fused_index_matches_graph(index2, graph_p, cfg.KBuild)
+
+
+def test_compaction_is_bit_identical(built):
+    """Phased converged-row compaction must not change results AT ALL: rows
+    walk independently and every live row keeps its full pop budget, so the
+    compacted sweep is a pure re-scheduling of the same per-row programs."""
+    base, _, cfg, graph, index = built
+    rng = np.random.default_rng(7)
+    query = jnp.asarray(_manifold(rng, 600, base.shape[1]))  # tile > 512 rows
+    base_j = jnp.asarray(base)
+    ids0, d0 = fused_query(query, index, base_j, 10, 0.6, 64,
+                           compact_levels=0)
+    for levels in (1, 3):
+        ids, d = fused_query(query, index, base_j, 10, 0.6, 64,
+                             compact_levels=levels)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids0))
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(d0))
+
+
+def test_budget_sized_visited_ring_identical(built):
+    """vis_size defaults to the pop budget (rounded to 32): a ring that never
+    wraps behaves exactly like the reference-sized larger ring."""
+    base, query, cfg, graph, index = built
+    q = jnp.asarray(query)
+    base_j = jnp.asarray(base)
+    _, vis_default = GraphConfig.query_beam_geometry(10, 48)
+    ids0, d0 = fused_query(q, index, base_j, 10, 0.6, 48, vis_size=vis_default)
+    ids1, d1 = fused_query(q, index, base_j, 10, 0.6, 48)  # tightened default
+    np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
