@@ -212,6 +212,8 @@ class GGNN:
         self._measure = DistanceMeasure.Euclidean
         self._build_seed = 1234
         self._back_to_front = False
+        self._ici_merge = True
+        self._ici_cache = None
         self.last_build_stats: dict | None = None
 
     # --- configuration (ggnn.cuh:66-123) ----------------------------------
@@ -260,6 +262,17 @@ class GGNN:
 
     # TPU-native name for the same switch
     set_return_results_on_device = set_return_results_on_gpu
+
+    def set_ici_merge(self, enabled: bool = True) -> None:
+        """Toggle the on-device multi-chip result merge (SURVEY.md section
+        5.8). When every device holds exactly one HBM-resident shard, fused
+        queries run as ONE shard_map program: each chip walks its local
+        shard and the per-chip top-k merges over ICI (all_gather + local
+        top-k, parallel/sharded.py) instead of D2H-copying per-shard
+        partials for the host k-way merge (the reference's only option,
+        result_merger.cpp:79-142). Results are identical either way."""
+        self._ici_merge = bool(enabled)
+        self._ici_cache = None
 
     # --- shard planning (ggnn.cu:154-203) ----------------------------------
 
@@ -358,35 +371,62 @@ class GGNN:
         self._prepare(k_build)
         budget = self._resident_budget()
         t0 = time.perf_counter()
-        stats = []
+
+        def _build_device_shards(shards):
+            """Build one device's shards in order (runs on a worker thread
+            when several devices are present -- the reference spawns one
+            std::thread per GPU, ggnn.cu:222-230). Each shard's jit work
+            dispatches to ITS device, so workers' device compute overlaps;
+            determinism is untouched (per-shard seeds)."""
+            out = []
+            for shard in shards:
+                t_start = time.perf_counter()
+                shard.ensure_base()
+                graph, s = build_graph(
+                    shard.base_dev,
+                    self._cfg,
+                    tau_build,
+                    refinement_iterations,
+                    self._measure,
+                    seed=self._build_seed + shard.shard_id,
+                    quantized_fetch=quantized_fetch,
+                    sym_mode=sym_mode,
+                )
+                shard.graph = graph
+                s["wall_interval"] = (t_start, time.perf_counter())
+                out.append((shard.shard_id, s))
+                if len(self._shards) > budget:
+                    self._evict_shard(shard)
+                vlog(
+                    0,
+                    "shard %d built in %.3f s (%.2f us/point)",
+                    shard.shard_id,
+                    s["build_time_s"],
+                    s["build_time_s"] * 1e6 / self._cfg.N,
+                )
+            return out
+
+        by_device: dict = {}
         for shard in self._shards:
-            shard.ensure_base()
-            graph, s = build_graph(
-                shard.base_dev,
-                self._cfg,
-                tau_build,
-                refinement_iterations,
-                self._measure,
-                seed=self._build_seed + shard.shard_id,
-                quantized_fetch=quantized_fetch,
-                sym_mode=sym_mode,
-            )
-            shard.graph = graph
-            stats.append(s)
-            if len(self._shards) > budget:
-                self._evict_shard(shard)
-            vlog(
-                0,
-                "shard %d built in %.3f s (%.2f us/point)",
-                shard.shard_id,
-                s["build_time_s"],
-                s["build_time_s"] * 1e6 / self._cfg.N,
-            )
+            by_device.setdefault(shard.device, []).append(shard)
+        if len(by_device) == 1:
+            results = _build_device_shards(self._shards)
+        else:
+            with ThreadPoolExecutor(
+                max_workers=len(by_device), thread_name_prefix="ggnn-build"
+            ) as ex:
+                futs = [
+                    ex.submit(_build_device_shards, shards)
+                    for shards in by_device.values()
+                ]
+                results = [r for f in futs for r in f.result()]
+        stats = [s for _, s in sorted(results)]
         wall = time.perf_counter() - t0
         self.last_build_stats = {
             "shards": stats,
             "wall_time_s": wall,
             "sum_time_s": sum(s["build_time_s"] for s in stats),
+            "num_build_workers": len(by_device),
         }
         vlog(0, "build completed in %.3f s (wall)", wall)
 
@@ -647,6 +687,71 @@ class GGNN:
         )
         return ResultsFuture(fut.result)
 
+    def _try_ici_query(self, query, k_query, tau_query, max_iterations,
+                       measure, kw):
+        """Route a fused multi-device query through the on-device ICI merge
+        when the layout allows: one HBM-resident shard per device. Returns
+        merged global (ids, dists) device arrays, or None to fall back to
+        the per-shard + host-merge sweep (out-of-core layouts, single
+        device, disabled switch)."""
+        if not self._ici_merge or len(self._shards) < 2:
+            return None
+        devices = [s.device for s in self._shards]
+        if len(set(devices)) != len(devices):
+            return None  # several shards per device: out-of-core sweep
+        for s in self._shards:
+            if s._pending is not None:
+                s.wait()
+            if s.graph is None or s.base_dev is None:
+                return None  # not HBM-resident: the rotation path handles it
+            if s.ensure_fused_index() is None:
+                return None
+        from ggnn_tpu.parallel.sharded import (  # noqa: PLC0415
+            AXIS, make_mesh, sharded_fused_query,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+        cache_key = tuple(
+            (s.shard_id, id(s.fused_index), id(s.base_dev)) for s in self._shards
+        )
+        cache = self._ici_cache
+        if cache is None or cache[0] != cache_key:
+            mesh = make_mesh(devices)
+            sh = NamedSharding(mesh, PartitionSpec(AXIS))
+
+            def stack(*leaves):
+                # assemble the global [ndev, ...] array from the per-device
+                # leaves WITHOUT moving data: each leaf already lives on its
+                # mesh position
+                arrs = [
+                    jax.device_put(jnp.expand_dims(l, 0), d)
+                    for l, d in zip(leaves, devices)
+                ]
+                return jax.make_array_from_single_device_arrays(
+                    (len(leaves),) + tuple(leaves[0].shape), sh, arrs
+                )
+
+            base_stack = stack(*[s.base_dev for s in self._shards])
+            index_stack = jax.tree.map(
+                stack, *[s.fused_index for s in self._shards]
+            )
+            self._ici_cache = (cache_key, mesh, base_stack, index_stack)
+        _, mesh, base_stack, index_stack = self._ici_cache
+        ids, dists = sharded_fused_query(
+            mesh,
+            base_stack,
+            index_stack,
+            jnp.asarray(query),
+            k_query,
+            tau_query,
+            max_iterations,
+            measure,
+            pops_per_iter=kw["pops_per_iter"],
+            num_seeds=kw["num_seeds"],
+            compact_levels=kw["compact_levels"],
+        )
+        return ids, dists
+
     def _query_partials(
         self,
         query,
@@ -683,6 +788,13 @@ class GGNN:
         measure = DistanceMeasure(measure) if measure is not None else self._measure
         query = _as_array(query)
         n_shard = self._cfg.N
+
+        if engine == "fused":
+            ici = self._try_ici_query(
+                query, k_query, tau_query, max_iterations, measure, kw
+            )
+            if ici is not None:
+                return [ici]
 
         budget = max(1, self._resident_budget())
         resident = sum(1 for s in self._shards if s.resident)

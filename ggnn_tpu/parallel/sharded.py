@@ -132,11 +132,20 @@ def sharded_fused_query(
     measure: DistanceMeasure = DistanceMeasure.Euclidean,
     pops_per_iter: int = 16,
     num_seeds: int = 16,
+    use_pallas: bool | None = None,
+    compact_levels: int = 0,
 ):
     """The fused quantized-adjacency engine sharded across the mesh: every
     chip walks its own shard's inline-code graph, results merge over ICI."""
     measure = DistanceMeasure(measure)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
     width, vis_size = GraphConfig.query_beam_geometry(KQuery, max_iterations)
+    # budget-sized visited ring (never wraps => semantics-identical; see
+    # fused_query)
+    P_ = max(1, pops_per_iter)
+    total_pops = -(-max_iterations // P_) * P_
+    vis_size = min(vis_size, max(32, -(-total_pops // 32) * 32))
     n_shard = base_stack.shape[1]
     cand_per_fetch = int(index_stack.nbr_ids.shape[2])
     num_seeds = min(num_seeds, int(index_stack.rep_ids.shape[1]))
@@ -164,6 +173,7 @@ def sharded_fused_query(
             width=width, vis_size=vis_size, k_query=KQuery, measure=measure,
             max_iterations=max_iterations, pops_per_iter=max(1, pops_per_iter),
             num_seeds=num_seeds, rerank=rerank, cap=cap,
+            use_pallas=use_pallas, compact_levels=compact_levels,
         )
         return _merge_over_ici(ids, dists, KQuery, n_shard)
 
