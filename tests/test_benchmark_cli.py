@@ -52,3 +52,40 @@ def test_end_to_end_fvecs(tmp_path, rng):
         ]
     )
     assert rc == 0
+
+
+def test_sift1m_example_on_stub_data(tmp_path, rng):
+    """The SIFT1M example must run verbatim against a drop-in directory with
+    the TEXMEX file names (real-dataset runs are blocked: the environment
+    has no network egress -- recorded in BASELINE.md). Deterministic stub
+    data stands in for the download."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from ggnn_tpu.dataset import store_ivecs
+
+    n, nq, d = 2048, 64, 32
+    base = rng.random((n, d), dtype=np.float32)
+    query = rng.random((nq, d), dtype=np.float32)
+    sift = tmp_path / "sift"
+    sift.mkdir()
+    store_fvecs(sift / "sift_base.fvecs", base)
+    store_fvecs(sift / "sift_query.fvecs", query)
+    d2 = ((query[:, None] - base[None]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :100].astype(np.int32)
+    store_ivecs(sift / "sift_groundtruth.ivecs", gt)
+
+    import os
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(repo)] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    )
+    out = subprocess.run(
+        [sys.executable, str(repo / "examples" / "sift1m_fvecs.py"), str(sift)],
+        capture_output=True, text=True, timeout=540, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "tau_query=0.34" in out.stdout
