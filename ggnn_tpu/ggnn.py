@@ -611,6 +611,7 @@ class GGNN:
         "cap": (("fused",), None),
         "chunk": (("fused",), 8192),
         "compact_levels": (("fused",), 2),
+        "quota_filter": (("fused",), False),
     }
 
     def query(
@@ -872,6 +873,7 @@ class GGNN:
                     cap=kw["cap"],
                     chunk=kw["chunk"],
                     compact_levels=kw["compact_levels"],
+                    quota_filter=kw["quota_filter"],
                     shard_base=shard.shard_id * n_shard,
                     pack_results=pack,
                 )

@@ -295,3 +295,19 @@ def test_budget_sized_visited_ring_identical(built):
     ids1, d1 = fused_query(q, index, base_j, 10, 0.6, 48)  # tightened default
     np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+def test_quota_filter_recall_close(built):
+    """Per-anchor quota candidate filtering changes WHICH candidates survive
+    the cap, not the walk semantics; recall must stay at the global-sort
+    level on the oracle check."""
+    base, query, cfg, graph, index = built
+    q = jnp.asarray(query)
+    base_j = jnp.asarray(base)
+    gt, _ = bruteforce_knn(base_j, q, 10)
+    ids0, _ = fused_query(q, index, base_j, 10, 0.6, 64, quota_filter=False)
+    ids1, _ = fused_query(q, index, base_j, 10, 0.6, 64, quota_filter=True)
+    gt = np.asarray(gt)
+    r0 = (np.asarray(ids0)[:, :1] == gt[:, :1]).mean()
+    r1 = (np.asarray(ids1)[:, :1] == gt[:, :1]).mean()
+    assert r1 >= r0 - 0.03, (r0, r1)
