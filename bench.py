@@ -216,7 +216,11 @@ def main():
     # dense MXU rep seeding, exact f32 re-rank. Cheapest configs first; the
     # budget matters as much as tau (converged rows wait for stragglers in
     # the lock-step sweep, so a tight budget is nearly free recall-wise).
-    qkw = {"engine": "fused", "pops_per_iter": 8, "num_seeds": 16}
+    # rerank=16 (vs the default 32) and approx_min_k seeding measured
+    # recall-identical at k_query=10 and +25% QPS together (scratch/
+    # fixed_cost_ab2.py: 144.0k vs 114.9k at the 262k headline point)
+    qkw = {"engine": "fused", "pops_per_iter": 8, "num_seeds": 16,
+           "rerank": max(16, k_query + 6)}
     sweep = [
         (0.34, 32), (0.41, 32), (0.51, 32),
         (0.45, 40), (0.51, 40), (0.64, 40),

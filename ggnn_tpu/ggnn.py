@@ -611,7 +611,7 @@ class GGNN:
         "cap": (("fused",), None),
         "chunk": (("fused",), 8192),
         "compact_levels": (("fused",), 2),
-        "quota_filter": (("fused",), False),
+        "seed_approx": (("fused",), True),
     }
 
     def query(
@@ -750,6 +750,7 @@ class GGNN:
             pops_per_iter=kw["pops_per_iter"],
             num_seeds=kw["num_seeds"],
             compact_levels=kw["compact_levels"],
+            seed_approx=kw["seed_approx"],
         )
         return ids, dists
 
@@ -873,7 +874,7 @@ class GGNN:
                     cap=kw["cap"],
                     chunk=kw["chunk"],
                     compact_levels=kw["compact_levels"],
-                    quota_filter=kw["quota_filter"],
+                    seed_approx=kw["seed_approx"],
                     shard_base=shard.shard_id * n_shard,
                     pack_results=pack,
                 )

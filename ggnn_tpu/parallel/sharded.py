@@ -134,6 +134,7 @@ def sharded_fused_query(
     num_seeds: int = 16,
     use_pallas: bool | None = None,
     compact_levels: int = 0,
+    seed_approx: bool = False,
 ):
     """The fused quantized-adjacency engine sharded across the mesh: every
     chip walks its own shard's inline-code graph, results merge over ICI."""
@@ -174,6 +175,7 @@ def sharded_fused_query(
             max_iterations=max_iterations, pops_per_iter=max(1, pops_per_iter),
             num_seeds=num_seeds, rerank=rerank, cap=cap,
             use_pallas=use_pallas, compact_levels=compact_levels,
+            seed_approx=seed_approx,
         )
         return _merge_over_ici(ids, dists, KQuery, n_shard)
 

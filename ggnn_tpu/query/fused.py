@@ -401,7 +401,7 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, meta, measure,
 
 
 def _fused_step(st, q_vecs, q_sq, index, meta, measure, *, k_best, P, cap,
-                use_pallas, quota_filter=False):
+                use_pallas):
     """One pop->fetch->filter->dedup->insert step of the quantized-adjacency
     walk (shared by the query engine and the construction merge).
 
@@ -411,13 +411,7 @@ def _fused_step(st, q_vecs, q_sq, index, meta, measure, *, k_best, P, cap,
     Pallas filter+dedup+merge kernel was built and measured 5.8x slower than
     this XLA pipeline -- see docs/design.md "Candidate merge"; XLA's fused
     sort pipeline is already near VPU-bound.)
-
-    ``quota_filter`` replaces the global [B, P*Kc]-wide cap sort with a
-    per-anchor quota: each popped anchor keeps its best cap/P candidates
-    ([B, P, Kc] sorts -- ~2.3x less sort work on the dominant term). The
-    surviving SET differs slightly (per-anchor quota vs global best-cap),
-    but the insert's own merge restores global order, and any candidate
-    dropped here costs at most a later revisit."""
+"""
     anchors, active, st = beam_pop(st, P, k_best)
     ids, d = _code_dists(q_vecs, q_sq, anchors, index, meta, measure,
                          use_pallas)
@@ -425,17 +419,12 @@ def _fused_step(st, q_vecs, q_sq, index, meta, measure, *, k_best, P, cap,
     d = jnp.where((ids != EMPTY_ID) & (d < crit[:, None]), d, EMPTY_DIST)
     ids = jnp.where(jnp.isfinite(d), ids, EMPTY_ID)
     if cap < d.shape[1]:
-        B = d.shape[0]
-        Kc = index.cand_per_fetch
-        if quota_filter and cap % P == 0 and d.shape[1] == P * Kc:
-            q = cap // P
-            d3 = d.reshape(B, P, Kc)
-            i3 = ids.reshape(B, P, Kc)
-            d3, i3 = jax.lax.sort((d3, i3), dimension=-1, num_keys=1)
-            d, ids = d3[..., :q].reshape(B, cap), i3[..., :q].reshape(B, cap)
-        else:
-            d, ids = jax.lax.sort((d, ids), dimension=-1, num_keys=1)
-            d, ids = d[:, :cap], ids[:, :cap]
+        # a full 2-op sort: lax.top_k(384->cap) + the id gather measured
+        # 68.7k vs 97.7k QPS in-process at the 262k headline point, and a
+        # per-anchor quota sort ([B,P,Kc] blocks) measured 63.9k vs 116.1k --
+        # XLA's fused full-width 2-operand sort pipeline wins on TPU
+        d, ids = jax.lax.sort((d, ids), dimension=-1, num_keys=1)
+        d, ids = d[:, :cap], ids[:, :cap]
     ok = beam_dedup_mask(st, ids)
     ids = jnp.where(ok, ids, EMPTY_ID)
     st = beam_insert(st, ids, d, row_mask=active, criteria=crit)
@@ -493,7 +482,7 @@ def fused_best_first(
     static_argnames=(
         "width", "vis_size", "k_query", "measure", "max_iterations",
         "pops_per_iter", "num_seeds", "rerank", "cap", "use_pallas",
-        "compact_levels", "quota_filter",
+        "compact_levels", "seed_approx",
     ),
 )
 def _fused_query_tile(
@@ -514,7 +503,7 @@ def _fused_query_tile(
     cap: int,
     use_pallas: bool = False,
     compact_levels: int = 0,
-    quota_filter: bool = False,
+    seed_approx: bool = False,
 ):
     B, D = q_vecs.shape
     P = pops_per_iter
@@ -537,10 +526,17 @@ def _fused_query_tile(
     seed_d_all = dist_block(
         q_vecs, index.rep_vecs, measure, q_sq=q_sq, c_sq=index.rep_sq
     )
-    neg_d, pos = jax.lax.top_k(-seed_d_all, num_seeds)
+    if seed_approx:
+        # TPU-native partial reduction (~0.95 per-seed recall): seeds are
+        # redundant entry points, so approximate selection is free quality-
+        # wise while skipping the full-width top_k sort over all reps
+        seed_d, pos = jax.lax.approx_min_k(seed_d_all, num_seeds)
+    else:
+        neg_d, pos = jax.lax.top_k(-seed_d_all, num_seeds)
+        seed_d = -neg_d
     seed_ids = index.rep_ids[pos].astype(jnp.int32)
     no_crit = jnp.full((B,), EMPTY_DIST, jnp.float32)
-    state = beam_insert(state, seed_ids, -neg_d, criteria=no_crit)
+    state = beam_insert(state, seed_ids, seed_d, criteria=no_crit)
 
     steps = -(-max_iterations // P)
     meta = _pack_meta(index.nbr_ids, index.nbr_sq)
@@ -571,7 +567,6 @@ def _fused_query_tile(
             st_, active = _fused_step(
                 st_, q, qs, index, meta, measure,
                 k_best=k_query, P=P, cap=cap, use_pallas=use_pallas,
-                quota_filter=quota_filter,
             )
             return st_, it_ + 1, active
 
@@ -626,7 +621,7 @@ def _fused_query_tile(
         "chunk_plan", "shard_base", "pack_results",
         "width", "vis_size", "k_query", "measure", "max_iterations",
         "pops_per_iter", "num_seeds", "rerank", "cap", "use_pallas",
-        "compact_levels", "quota_filter",
+        "compact_levels", "seed_approx",
     ),
 )
 def _fused_query_chunks(
@@ -693,7 +688,7 @@ def fused_query(
     shard_base: int = 0,
     pack_results: bool = False,
     compact_levels: int = 2,
-    quota_filter: bool = False,
+    seed_approx: bool = False,
 ):
     """Query one shard through its quantized-adjacency index.
 
@@ -751,7 +746,7 @@ def fused_query(
         width=width, vis_size=vis_size, k_query=KQuery, measure=measure,
         max_iterations=max_iterations, pops_per_iter=max(1, pops_per_iter),
         num_seeds=num_seeds, rerank=rerank, cap=cap, use_pallas=use_pallas,
-        compact_levels=max(0, compact_levels), quota_filter=quota_filter,
+        compact_levels=max(0, compact_levels), seed_approx=seed_approx,
     )
 
 

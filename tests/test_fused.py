@@ -297,16 +297,17 @@ def test_budget_sized_visited_ring_identical(built):
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
 
 
-def test_quota_filter_recall_close(built):
-    """Per-anchor quota candidate filtering changes WHICH candidates survive
-    the cap, not the walk semantics; recall must stay at the global-sort
-    level on the oracle check."""
+def test_seed_approx_recall_close(built):
+    """Approximate seed selection (lax.approx_min_k) replaces only WHICH
+    reps seed the walk; recall must stay at the exact-top_k level. On CPU
+    approx_min_k lowers to the exact reduction, so the ids match exactly;
+    the weaker recall bound keeps the test valid on real TPUs too."""
     base, query, cfg, graph, index = built
     q = jnp.asarray(query)
     base_j = jnp.asarray(base)
     gt, _ = bruteforce_knn(base_j, q, 10)
-    ids0, _ = fused_query(q, index, base_j, 10, 0.6, 64, quota_filter=False)
-    ids1, _ = fused_query(q, index, base_j, 10, 0.6, 64, quota_filter=True)
+    ids0, _ = fused_query(q, index, base_j, 10, 0.6, 64, seed_approx=False)
+    ids1, _ = fused_query(q, index, base_j, 10, 0.6, 64, seed_approx=True)
     gt = np.asarray(gt)
     r0 = (np.asarray(ids0)[:, :1] == gt[:, :1]).mean()
     r1 = (np.asarray(ids1)[:, :1] == gt[:, :1]).mean()
