@@ -41,7 +41,8 @@ class _BuildContext:
     Graph pair, graph_buffer.cuh:38-92)."""
 
     def __init__(self, base, cfg: GraphConfig, measure, tau_build, seed, chunk,
-                 quantized_fetch=True, sym_mode="bulk"):
+                 quantized_fetch=True, sym_mode="bulk", dense_seed_merge=True,
+                 merge_num_seeds=32):
         self.cfg = cfg
         self.measure = DistanceMeasure(measure)
         self.tau_build = float(tau_build)
@@ -49,6 +50,8 @@ class _BuildContext:
         self.base_sq = squared_norms(base)
         self.chunk = chunk
         self.sym_mode = sym_mode
+        self.dense_seed_merge = bool(dense_seed_merge)
+        self.merge_num_seeds = int(merge_num_seeds)
         # quantized layer-0 merge fetch (query/fused.py layout); auto-off
         # when the inline adjacency would not fit comfortably in HBM
         self.quantized_fetch = bool(quantized_fetch) and (
@@ -179,13 +182,22 @@ class _BuildContext:
             self._ensure_codes()
             if self._quant_usable():
                 # every layer the descent searches (layer_top-1 .. layer_btm)
-                # gets an inline-code adjacency
-                adjs = tuple(
-                    self._layer_adjacency(l)
-                    if layer_btm <= l < layer_top
-                    else None
-                    for l in range(self.cfg.L)
-                )
+                # gets an inline-code adjacency; dense seeding searches only
+                # layer_btm, so the upper-layer tables are never fetched
+                with self.timer.phase(
+                    f"adj[{layer_top}->{layer_btm}]", self.cfg.Ns[layer_btm]
+                ) as r:
+                    adjs = tuple(
+                        self._layer_adjacency(l)
+                        if (
+                            l == layer_btm
+                            if self.dense_seed_merge
+                            else layer_btm <= l < layer_top
+                        )
+                        else None
+                        for l in range(self.cfg.L)
+                    )
+                    r["out"] = adjs[layer_btm].nbr_sq
             else:
                 self.quantized_fetch = False  # don't re-check every pass
         with self.timer.phase(name, self.cfg.Ns[layer_btm]) as r:
@@ -204,6 +216,8 @@ class _BuildContext:
                 chunk=self.chunk,
                 adjs=adjs,
                 use_pallas=jax.default_backend() not in ("cpu",),
+                dense_seed=self.dense_seed_merge,
+                num_seeds=self.merge_num_seeds,
             )
             self.neighbors[layer_btm] = nbrs
             if layer_btm == 0:
@@ -276,15 +290,24 @@ def build_graph(
     chunk: int = 8192,
     quantized_fetch: bool = True,
     sym_mode: str = "bulk",
+    dense_seed_merge: bool = True,
+    merge_num_seeds: int = 32,
 ) -> tuple[Graph, dict]:
     """Build one graph shard. Returns (graph, build stats).
 
     ``sym_mode``: "bulk" (drop residual links instead of walking --
     fastest, measured recall-identical; default), "hybrid" (bulk proposals
     + residual walks), "walk" (walk every unconnected pair -- the
-    conservative reference shape)."""
+    conservative reference shape).
+
+    ``dense_seed_merge``: seed merge beams with a dense MXU scan against the
+    next layer's representatives instead of the reference's hierarchic
+    descent (merge_layer.cu:86-121) -- the upper-layer best-first legs
+    disappear. False restores the descent shape."""
     ctx = _BuildContext(base, cfg, measure, tau_build, seed, chunk,
-                        quantized_fetch=quantized_fetch, sym_mode=sym_mode)
+                        quantized_fetch=quantized_fetch, sym_mode=sym_mode,
+                        dense_seed_merge=dense_seed_merge,
+                        merge_num_seeds=merge_num_seeds)
     L = cfg.L
 
     # graph_construction.cu:128-140

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ggnn_tpu.config import MERGE_MAX_ITERATIONS, DistanceMeasure, GraphConfig
 from ggnn_tpu.ops.beam import beam_init, beam_insert, beam_transform
+from ggnn_tpu.ops.distance import dist_block
 from ggnn_tpu.ops.traverse import best_first_search, gather_dists, seed_beam
 from ggnn_tpu.query.fused import fused_best_first
 
@@ -49,7 +50,7 @@ def _top_seg_offset(n, layer_top, layer_btm, cfg: GraphConfig):
     jax.jit,
     static_argnames=(
         "cfg", "layer_top", "layer_btm", "measure", "pops_per_iter",
-        "use_pallas",
+        "use_pallas", "num_seeds",
     ),
 )
 def _merge_chunk(
@@ -63,6 +64,7 @@ def _merge_chunk(
     nn1_stats,  # [2]
     tau_build,  # scalar f32
     adjs,  # per-layer AdjacencyTables tuple (None entries = f32 row path)
+    reps,  # None | (rep_local [R], rep_vecs [R, D], rep_sq [R]): dense seeding
     *,
     cfg: GraphConfig,
     layer_top: int,
@@ -70,6 +72,7 @@ def _merge_chunk(
     measure: DistanceMeasure,
     pops_per_iter: int = 1,
     use_pallas: bool = False,
+    num_seeds: int = 16,
 ):
     B = n.shape[0]
     KBuild = cfg.KBuild
@@ -88,25 +91,54 @@ def _merge_chunk(
 
     state = beam_init(B, width, xi, vis_size)
 
-    # seed with the node's top-layer segment (merge_layer.cu:86-97)
-    s_offset = _top_seg_offset(n, layer_top, layer_btm, cfg)
-    seeds = s_offset[:, None] + jnp.arange(cfg.S, dtype=jnp.int32)[None, :]
-    state = seed_beam(
-        state,
-        q_vecs,
-        q_sq,
-        seeds,
-        base,
-        base_sq,
-        translation[layer_top],
-        measure,
-    )
+    if reps is not None:
+        # dense seeding (the query engine's rep scan applied to the build,
+        # query/fused.py:525-539): score every layer_btm+1 representative
+        # against the whole chunk in one MXU tile and enter the best
+        # ``num_seeds`` directly into the layer_btm beam. Replaces the
+        # reference's segment-seeded hierarchic descent
+        # (merge_layer.cu:86-121) whose upper-layer best-first legs cost
+        # more than the layer_btm search itself (measured at 262k; see
+        # docs/design.md) while finding *graph*-nearest upper nodes -- the
+        # dense scan finds the distance-nearest ones exactly.
+        rep_local, rep_vecs, rep_sq = reps
+        seed_d_all = dist_block(
+            q_vecs, rep_vecs, measure, q_sq=q_sq, c_sq=rep_sq
+        )
+        seed_d, pos = jax.lax.approx_min_k(
+            seed_d_all, min(num_seeds, rep_vecs.shape[0])
+        )
+        seed_ids = rep_local[pos].astype(jnp.int32)
+        no_crit = jnp.full((B,), jnp.inf, jnp.float32)
+        state = beam_insert(state, seed_ids, seed_d, criteria=no_crit)
+        trans_btm = translation[layer_btm] if layer_btm else None
+        d_own, _ = gather_dists(
+            q_vecs, q_sq, n[:, None], base, base_sq, trans_btm, measure
+        )
+        state = beam_insert(state, n[:, None], d_own, criteria=no_crit)
+        descent_layers = [layer_btm]
+    else:
+        # seed with the node's top-layer segment (merge_layer.cu:86-97)
+        s_offset = _top_seg_offset(n, layer_top, layer_btm, cfg)
+        seeds = s_offset[:, None] + jnp.arange(cfg.S, dtype=jnp.int32)[None, :]
+        state = seed_beam(
+            state,
+            q_vecs,
+            q_sq,
+            seeds,
+            base,
+            base_sq,
+            translation[layer_top],
+            measure,
+        )
+        descent_layers = list(range(layer_top - 1, layer_btm - 1, -1))
 
     # hierarchic descent (merge_layer.cu:100-121)
-    for layer in range(layer_top - 1, layer_btm - 1, -1):
-        state = beam_transform(state, selection[layer + 1], keep=k_best)
+    for layer in descent_layers:
+        if reps is None:
+            state = beam_transform(state, selection[layer + 1], keep=k_best)
         trans_l = translation[layer] if layer else None
-        if layer == layer_btm:
+        if layer == layer_btm and reps is None:
             # fetch the node itself (merge_layer.cu:103-104)
             d_own, _ = gather_dists(
                 q_vecs, q_sq, n[:, None], base, base_sq, trans_l, measure
@@ -193,12 +225,25 @@ def merge_layer(
     pops_per_iter: int = 8,
     adjs=None,
     use_pallas: bool = False,
+    dense_seed: bool = False,
+    num_seeds: int = 16,
 ):
     """Rebuild ``layer_btm`` neighborhoods by descending from ``layer_top``.
+
+    With ``dense_seed`` the hierarchic descent is replaced by one dense MXU
+    scan against the layer_btm+1 representatives (exact distance-nearest
+    entry points; the upper-layer best-first legs disappear entirely).
 
     Returns (new_neighbors [Ns[layer_btm], KBuild], nn1 [Ns[layer_btm]]).
     """
     from ggnn_tpu.utils.timing import hard_sync  # noqa: PLC0415
+
+    reps = None
+    if dense_seed and layer_top > layer_btm:
+        sel = selection[layer_btm + 1]  # layer_btm-local ids of the reps
+        tr = translation[layer_btm + 1]  # their base ids
+        rep_vecs = base[tr].astype(jnp.float32)
+        reps = (sel, rep_vecs, base_sq[tr])
 
     Ns = cfg.Ns[layer_btm]
     chunk = min(chunk, Ns)
@@ -224,12 +269,14 @@ def merge_layer(
             nn1_stats,
             tau,
             adjs,
+            reps,
             cfg=cfg,
             layer_top=layer_top,
             layer_btm=layer_btm,
             measure=DistanceMeasure(measure),
             pops_per_iter=pops_per_iter,
             use_pallas=use_pallas,
+            num_seeds=num_seeds,
         )
         out_rows.append(rows)
         out_nn1.append(nn1)

@@ -100,7 +100,7 @@ def top_merge_layer(
     cfg: GraphConfig,
     layer: int,
     measure: DistanceMeasure,
-    seg_chunk: int = 512,
+    seg_chunk: int = 2048,
 ):
     """Seed ``layer`` with per-segment exact kNN.
 

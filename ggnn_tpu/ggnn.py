@@ -355,6 +355,7 @@ class GGNN:
         *,
         quantized_fetch: bool = True,
         sym_mode: str = "bulk",
+        dense_seed_merge: bool = True,
     ) -> None:
         """Build the search graph over all shards (ggnn.cuh:130-133).
 
@@ -366,7 +367,14 @@ class GGNN:
         quantizer range is percentile-clipped against outlier dimensions
         (query/fused.py:fit_affine_u8). Pass ``quantized_fetch=False`` to
         force exact f32 candidate fetches throughout. ``sym_mode`` selects
-        the symmetric-link decomposition (build/sym.py:sym_pass)."""
+        the symmetric-link decomposition (build/sym.py:sym_pass).
+
+        ``dense_seed_merge`` (default True) seeds every merge search with a
+        dense MXU scan against the next layer's representatives instead of
+        the reference's hierarchic descent (merge_layer.cu:86-121): the
+        upper-layer best-first legs disappear, builds run ~1.6-1.9x faster,
+        recall measured within 0.003 of the descent graph at 16k/262k
+        (scratch/dense_seed_ab_262k.py). False restores the descent."""
         self._measure = DistanceMeasure(measure)
         self._prepare(k_build)
         budget = self._resident_budget()
@@ -391,6 +399,7 @@ class GGNN:
                     seed=self._build_seed + shard.shard_id,
                     quantized_fetch=quantized_fetch,
                     sym_mode=sym_mode,
+                    dense_seed_merge=dense_seed_merge,
                 )
                 shard.graph = graph
                 s["wall_interval"] = (t_start, time.perf_counter())
@@ -612,6 +621,7 @@ class GGNN:
         "chunk": (("fused",), 8192),
         "compact_levels": (("fused",), 2),
         "seed_approx": (("fused",), True),
+        "width": (("fused",), None),
     }
 
     def query(

@@ -689,6 +689,7 @@ def fused_query(
     pack_results: bool = False,
     compact_levels: int = 2,
     seed_approx: bool = False,
+    width: int | None = None,
 ):
     """Query one shard through its quantized-adjacency index.
 
@@ -701,7 +702,13 @@ def fused_query(
     handoff.
     """
     measure = DistanceMeasure(measure)
-    width, vis_default = GraphConfig.query_beam_geometry(KQuery, max_iterations)
+    width_default, vis_default = GraphConfig.query_beam_geometry(
+        KQuery, max_iterations
+    )
+    if width is None:
+        width = width_default
+    elif width < KQuery + 1:
+        raise ValueError(f"width={width} must exceed KQuery={KQuery}")
     if vis_size is None:
         # the ring records one id per pop; with capacity >= the total pop
         # budget it NEVER wraps, so shrinking it to the budget is exactly
