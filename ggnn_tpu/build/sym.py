@@ -559,7 +559,15 @@ def sym_pass(
         # the steady-state compute is <1.5 s (measured at 262k: per-pass
         # sym[0] 50-107 s with churning shapes, ~3 s warm), and the filter
         # chunk ladder keeps small layers off full-width programs.
+        # power-of-FOUR buckets: pow2 buckets still produced 3-4 distinct
+        # _bulk_requests shapes across a 1M build's passes (each a 30-100 s
+        # remote compile, measured: sym[0] passes 83/74/26/60/13/13 s where
+        # the warm floor is ~13 s); padding is ignored by the scatter, so a
+        # coarser ladder trades <=3x padded elementwise work (~1-3 s warm)
+        # for half the one-time compiles
         R_pad = max(4096, 1 << (len(rows) - 1).bit_length())
+        if R_pad.bit_length() % 2 == 0:  # odd power of two -> next pow4
+            R_pad <<= 1
         C = min(1 << 16, R_pad)
         num_f_chunks = R_pad // C
         rows_pad = np.full((R_pad,), -1, np.int32)

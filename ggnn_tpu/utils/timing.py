@@ -47,7 +47,13 @@ class PhaseTimer:
         finally:
             out = result.get("out", block)
             if out is not None:
+                # block_until_ready returns immediately on the axon relay --
+                # a 1-element D2H is the only true fence there. Without it
+                # the phase's device work drains during whichever LATER
+                # operation first blocks, mis-attributing tens of seconds
+                # (262k: 150 s of "between-phase" wall was deferred work).
                 jax.block_until_ready(out)
+                hard_sync(out)
             elapsed = time.perf_counter() - start
             self.phases[name] = self.phases.get(name, 0.0) + elapsed
             if n:
