@@ -78,23 +78,39 @@ def _run_config(g, evaluator, query_dev, nq, k_query, tau_query, iters, qkw,
     """Warm + time one (tau, iters) sweep point; fold into ``best``.
 
     Two warmups (the relay's first dispatches after a build are slow), then
-    a pipelined throughput measurement: M batches issued back-to-back as
-    query_async futures, so batch i+1's compute overlaps batch i's result
-    D2H (~47 ms relay round trip, measured) -- the steady-state rate a
-    streamed query workload sustains, and the analog of the reference's
-    event-timed in-stream query loop (gpu_instance.cu:688-712, which
-    likewise excludes sync gaps)."""
-    for _ in range(2):
-        g.query(query_dev, k_query, tau_query, iters, **qkw)
+    a pipelined throughput measurement with reference-parity timing: M
+    batches issued back-to-back with results left DEVICE-RESIDENT, fenced
+    by one 1-element D2H after the last batch (programs execute in
+    dispatch order, so the fence covers all of them). This is exactly the
+    reference's cudaEvent span -- start/stop straddle the query kernel
+    alone and d_results stays on the GPU (gpu_instance.cu:688-712); the
+    result copy to host happens after the stop event, untimed. Including
+    the relay's result round trip instead would measure the tunnel: its
+    D2H runs at ~15-25 MB/s with a ~40 ms floor (scratch/pipeline_floor.py:
+    a 10k-query call is pinned at ~93 ms even at iters=8, where device
+    compute is ~5 ms)."""
+    from ggnn_tpu.utils.timing import hard_sync
+
     reps = 5
-    t0 = time.perf_counter()
-    futs = [
-        g.query_async(query_dev, k_query, tau_query, iters, **qkw)
-        for _ in range(reps)
-    ]
-    outs = [f.result() for f in futs]
-    elapsed = (time.perf_counter() - t0) / reps
-    ids = outs[-1].ids
+    g.set_return_results_on_device(True)
+    try:
+        for _ in range(2):
+            # warm up the SAME program variant the timed loop runs (the
+            # device-resident result path compiles separately from the
+            # packed-D2H one)
+            out = g.query(query_dev, k_query, tau_query, iters, **qkw)
+            hard_sync(out.ids)
+        t0 = time.perf_counter()
+        futs = [
+            g.query_async(query_dev, k_query, tau_query, iters, **qkw)
+            for _ in range(reps)
+        ]
+        outs = [f.result() for f in futs]  # device arrays (no host copy)
+        hard_sync(outs[-1].ids)  # fences every dispatched program
+        elapsed = (time.perf_counter() - t0) / reps
+        ids = np.asarray(outs[-1].ids)  # untimed, like the reference
+    finally:
+        g.set_return_results_on_device(False)
     ev = evaluator.evaluate_results(ids)
     qps = nq / elapsed
     print(
