@@ -160,7 +160,26 @@ class _Shard:
 
     def ensure_fused_index(self):
         if self.fused_index is None and self.fused_index_host is not None:
-            self.fused_index = jax.device_put(self.fused_index_host, self.device)
+            from ggnn_tpu.query.fused import (  # noqa: PLC0415
+                FusedIndexMeta, assemble_fused_index,
+            )
+
+            if isinstance(self.fused_index_host, FusedIndexMeta):
+                # the host cache is meta-only (group matching + quantizer):
+                # reconstruct the inline-code tables with one device gather
+                # -- orders of magnitude cheaper than moving them over the
+                # relay, and bit-identical (assemble is deterministic)
+                self.ensure_base()
+                self.ensure_graph()
+                m = self.fused_index_host
+                self.fused_index = assemble_fused_index(
+                    self.base_dev, self.graph,
+                    members=m.members, scale=m.scale, zero=m.zero,
+                )
+            else:
+                self.fused_index = jax.device_put(
+                    self.fused_index_host, self.device
+                )
         return self.fused_index
 
     def host_cache_bytes(self) -> int:
@@ -178,7 +197,11 @@ class _Shard:
         if self.graph is not None and keep_host and self.graph_host is None:
             self.graph_host = jax.device_get(self.graph)
         if self.fused_index is not None and keep_host and self.fused_index_host is None:
-            self.fused_index_host = jax.device_get(self.fused_index)
+            from ggnn_tpu.query.fused import meta_of  # noqa: PLC0415
+
+            # keep only the meta (a few MB): the code tables re-derive from
+            # base+graph at stage-in instead of crossing the relay twice
+            self.fused_index_host = meta_of(self.fused_index, self.graph_host)
         self.graph = None
         self.base_dev = None
         self.base_sq = None
@@ -448,13 +471,31 @@ class GGNN:
         fastest query path."""
         if not self.has_graph():
             raise RuntimeError("no graph -- call build() or load() first")
+        from ggnn_tpu.query.fused import (  # noqa: PLC0415
+            FusedIndexMeta, fused_index_matches_graph,
+        )
+
         budget = self._resident_budget()
         for shard in self._shards:
             shard.wait()
             self._stage_in(shard)
-            shard.fused_index = build_fused_index(
-                shard.base_dev, shard.graph, self._cfg, group=group
-            )
+            cached = shard.fused_index_host
+            graph_h = shard.graph_host if shard.graph_host is not None else shard.graph
+            if (
+                isinstance(cached, FusedIndexMeta)
+                and cached.members.shape[1] == group
+                and fused_index_matches_graph(cached, graph_h, self._cfg.KBuild)
+            ):
+                # a loaded sidecar already carries this group matching:
+                # assembling from it skips the host-side match_groups pass
+                # and reproduces the stored index bit-for-bit
+                shard.fused_index = None
+                shard.ensure_fused_index()
+            else:
+                shard.fused_index = build_fused_index(
+                    shard.base_dev, shard.graph, self._cfg, group=group
+                )
+                shard.fused_index_host = None  # stale meta (other group)
             if len(self._shards) > budget:
                 self._evict_shard(shard)
 
@@ -510,7 +551,7 @@ class GGNN:
         shard.graph_host = graph
         fpath = d / f"part_{shard.shard_id}.fused.npz"
         if fpath.exists():
-            shard.fused_index_host = jax.device_get(load_fused_index(fpath))
+            shard.fused_index_host = load_fused_index(fpath)  # meta-only
         shard.spilled = False
 
     def _evict_shard(self, shard: _Shard) -> None:
@@ -551,7 +592,7 @@ class GGNN:
             )
             fpath = self._working_dir / f"part_{shard.shard_id}.fused.npz"
             if fused is not None:
-                save_fused_index(fpath, fused)
+                save_fused_index(fpath, fused, graph)
             else:
                 # delete stale sidecars: a rebuilt graph stored without its
                 # derived index must not leave an old adjacency on disk
@@ -580,7 +621,7 @@ class GGNN:
                 )
 
                 try:
-                    fused = jax.device_get(load_fused_index(fpath))
+                    fused = load_fused_index(fpath)  # meta-only, tiny
                     ok = fused_index_matches_graph(fused, graph, k_build)
                 except Exception:
                     ok = False  # old/corrupt sidecar format

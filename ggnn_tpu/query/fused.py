@@ -53,6 +53,8 @@ from ggnn_tpu.ops.distance import dist_block, squared_norms
 __all__ = [
     "AdjacencyTables",
     "FusedIndex",
+    "FusedIndexMeta",
+    "assemble_fused_index",
     "build_fused_index",
     "fused_best_first",
     "fused_query",
@@ -232,6 +234,34 @@ def _match_pairs(nbr_ids: np.ndarray) -> np.ndarray:
     return np.stack([owners, partner[owners]], axis=1).astype(np.int32)
 
 
+class FusedIndexMeta(NamedTuple):
+    """Host-persisted form of a FusedIndex: only what cannot be re-derived
+    from (base, graph) -- the group matching and the quantizer. The GB-scale
+    inline-code tables are reconstructed by ONE device gather at stage-in
+    (:func:`assemble_fused_index`); pulling them host-side instead costs
+    minutes through the relay D2H (~2-20 MB/s measured for bulk transfers),
+    and on any platform they are pure derived redundancy on disk.
+
+    ``graph_fp`` fingerprints the layer-0 adjacency the matching was
+    derived from; a sidecar whose fingerprint does not match the loaded
+    graph is rejected (stale-sidecar hygiene, tests/test_persistence.py).
+    All-zeros means "unvalidatable" and is likewise rejected on load."""
+
+    members: np.ndarray  # [NG, G] i32
+    scale: np.ndarray  # [D] f32
+    zero: np.ndarray  # [D] f32
+    graph_fp: np.ndarray  # [32] u8 blake2b of neighbors[0]
+
+
+def graph_fingerprint(graph) -> np.ndarray:
+    """32-byte digest of a graph's layer-0 adjacency (host arrays only)."""
+    import hashlib  # noqa: PLC0415
+
+    nbr0 = np.ascontiguousarray(np.asarray(graph.neighbors[0]))
+    digest = hashlib.blake2b(nbr0.tobytes(), digest_size=32).digest()
+    return np.frombuffer(digest, dtype=np.uint8).copy()
+
+
 def build_fused_index(
     base: jax.Array,
     graph: Graph,
@@ -245,12 +275,29 @@ def build_fused_index(
     matching the reference's native SIFT1B uint8 mode (BaseT=uint8,
     lib.h:23-75). ``group`` controls the paired-block layout (see
     FusedIndex; group=1 restores one block per node)."""
+    members_np = match_groups(np.asarray(graph.neighbors[0]), group)
+    return assemble_fused_index(base, graph, members=members_np)
+
+
+def assemble_fused_index(
+    base: jax.Array,
+    graph: Graph,
+    *,
+    members: np.ndarray,
+    scale: np.ndarray | None = None,
+    zero: np.ndarray | None = None,
+) -> FusedIndex:
+    """Assemble the device-resident index from a group matching (and
+    optionally a stored quantizer). Deterministic given (base, graph,
+    members): reloading a meta sidecar reproduces the stored index
+    bit-for-bit from the current graph."""
     base_np = np.asarray(base)
-    if base_np.dtype == np.uint8:
-        scale = np.ones((base_np.shape[1],), np.float32)
-        zero = np.zeros((base_np.shape[1],), np.float32)
-    else:
-        scale, zero = fit_affine_u8(base_np)
+    if scale is None or zero is None:
+        if base_np.dtype == np.uint8:
+            scale = np.ones((base_np.shape[1],), np.float32)
+            zero = np.zeros((base_np.shape[1],), np.float32)
+        else:
+            scale, zero = fit_affine_u8(base_np)
     scale_j = jnp.asarray(scale)
     zero_j = jnp.asarray(zero)
     base_f32 = jnp.asarray(base_np).astype(jnp.float32)
@@ -261,7 +308,7 @@ def build_fused_index(
     )
     nbr0 = graph.neighbors[0]
     N, K = nbr0.shape
-    members_np = match_groups(np.asarray(nbr0), group)
+    members_np = np.asarray(members)
     members = jnp.asarray(members_np)
     NG, G = members_np.shape
     group_of_np = np.zeros((N,), np.int32)
@@ -757,17 +804,31 @@ def fused_query(
     )
 
 
-def fused_index_matches_graph(index: FusedIndex, graph, k_build: int) -> bool:
-    """Whether a (possibly stale) fused index belongs to this graph: every
-    group row must hold exactly its members' current layer-0 neighbor ids.
-    Used to reject out-of-date sidecar files on load (GGNN.load)."""
+def fused_index_matches_graph(index, graph, k_build: int) -> bool:
+    """Whether a (possibly stale) fused index belongs to this graph.
+
+    For a full :class:`FusedIndex`: every group row must hold exactly its
+    members' current layer-0 neighbor ids. For a :class:`FusedIndexMeta`
+    (the persisted form) the adjacency is re-derived from the CURRENT graph
+    at assembly, so wrong *results* cannot go stale -- but a matching from a
+    different graph pairs suboptimally and its quantizer may not fit this
+    base at all, so the meta carries a layer-0 fingerprint that must match
+    (plus a coverage check for shape/N mismatches)."""
     try:
         nbr0 = np.asarray(graph.neighbors[0])
         N, K = nbr0.shape
-        if K != k_build or index.k_build != K:
+        if K != k_build:
             return False
         m = np.asarray(index.members)
-        if int((m >= 0).sum()) != N or np.asarray(index.group_of).shape != (N,):
+        flat = np.sort(m[m >= 0].ravel())
+        if flat.shape != (N,) or not np.array_equal(flat, np.arange(N)):
+            return False
+        if isinstance(index, FusedIndexMeta):
+            return bool(
+                np.any(index.graph_fp)
+                and np.array_equal(index.graph_fp, graph_fingerprint(graph))
+            )
+        if index.k_build != K or np.asarray(index.group_of).shape != (N,):
             return False
         expected = np.where(
             (m >= 0)[:, :, None], nbr0[np.clip(m, 0, None)], -1
@@ -777,18 +838,50 @@ def fused_index_matches_graph(index: FusedIndex, graph, k_build: int) -> bool:
         return False
 
 
-def save_fused_index(path: str | Path, index: FusedIndex) -> None:
-    """Persist alongside the graph shard (.npz + JSON header)."""
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    meta = {"k_build": index.k_build, "n": int(index.nbr_ids.shape[0])}
-    np.savez(
-        path,
-        meta=json.dumps(meta),
-        **{k: np.asarray(v) for k, v in index._asdict().items()},
+def meta_of(index, graph=None) -> FusedIndexMeta:
+    """The persistable meta of an index (tiny host arrays; for a device
+    index this pulls ~a few MB, never the inline-code tables). Pass the
+    source ``graph`` to stamp the staleness fingerprint -- without it the
+    meta is rejected by any future load (safe default)."""
+    if isinstance(index, FusedIndexMeta):
+        return index
+    return FusedIndexMeta(
+        members=np.asarray(index.members),
+        scale=np.asarray(index.scale),
+        zero=np.asarray(index.zero),
+        graph_fp=(
+            graph_fingerprint(graph)
+            if graph is not None
+            else np.zeros((32,), np.uint8)
+        ),
     )
 
 
-def load_fused_index(path: str | Path) -> FusedIndex:
+def save_fused_index(path: str | Path, index, graph=None) -> None:
+    """Persist the index meta alongside the graph shard (.npz + JSON
+    header). Only the group matching + quantizer are written -- the
+    inline-code tables are derived state, reconstructed on load by
+    :func:`assemble_fused_index` (see FusedIndexMeta). Pass ``graph`` so
+    the sidecar carries the staleness fingerprint load() checks."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    m = meta_of(index, graph)
+    header = {
+        "format": "meta-v2",
+        "n": int((np.asarray(m.members) >= 0).sum()),
+        "group": int(m.members.shape[1]),
+    }
+    np.savez(
+        path,
+        meta=json.dumps(header),
+        **{k: np.asarray(v) for k, v in m._asdict().items()},
+    )
+
+
+def load_fused_index(path: str | Path) -> FusedIndexMeta:
+    """Load a fused-index sidecar as its meta (works for both the meta-v2
+    format and legacy full dumps, whose extra derived arrays are ignored)."""
     with np.load(Path(path), allow_pickle=False) as f:
-        return FusedIndex(**{k: jnp.asarray(f[k]) for k in FusedIndex._fields})
+        return FusedIndexMeta(
+            **{k: np.asarray(f[k]) for k in FusedIndexMeta._fields}
+        )

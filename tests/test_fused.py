@@ -143,13 +143,33 @@ def test_fused_query_cosine(built):
 
 
 def test_fused_index_roundtrip(tmp_path, built):
-    _, _, _, _, index = built
+    """The sidecar persists only the meta (matching + quantizer +
+    fingerprint); assembling it against the same base+graph must reproduce
+    the original index bit-for-bit."""
+    from ggnn_tpu.query.fused import (
+        assemble_fused_index,
+        fused_index_matches_graph,
+        graph_fingerprint,
+    )
+
+    base, _, cfg, graph, index = built
     p = tmp_path / "fused_0.npz"
-    save_fused_index(p, index)
+    save_fused_index(p, index, graph)
     loaded = load_fused_index(p)
+    np.testing.assert_array_equal(
+        np.asarray(index.members), np.asarray(loaded.members)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.graph_fp), graph_fingerprint(graph)
+    )
+    assert fused_index_matches_graph(loaded, graph, cfg.KBuild)
+    rebuilt = assemble_fused_index(
+        jnp.asarray(base), graph,
+        members=loaded.members, scale=loaded.scale, zero=loaded.zero,
+    )
     for k in FusedIndex._fields:
         np.testing.assert_array_equal(
-            np.asarray(getattr(index, k)), np.asarray(getattr(loaded, k))
+            np.asarray(getattr(index, k)), np.asarray(getattr(rebuilt, k))
         )
 
 
