@@ -277,6 +277,9 @@ def main():
         "unit": "queries/s",
         "vs_baseline": round(best["qps"] / BASELINE_QPS, 4),
         "detail": {
+            "timing": "pipelined device compute, results device-resident, "
+                      "1-elem D2H fence (reference cudaEvent parity, "
+                      "gpu_instance.cu:688-712)",
             "N": n,
             "NQ": nq,
             "k_build": k_build,
