@@ -80,9 +80,18 @@ def _top_merge_chunk(
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2), d.shape
     )
     sorted_d, sorted_c = jax.lax.sort((d, cols), dimension=-1, num_keys=1)
-    top_d = sorted_d[:, :, :KBuild]
-    top_ids = starts[:, None, None] + sorted_c[:, :, :KBuild]
+    # segments can be narrower than KBuild (S0 < KBuild regime,
+    # graph_config.cpp warning path): the reference's KBestList simply stays
+    # partially filled (top_merge_layer.cu:66-75) -- pad the missing columns
+    # with EMPTY and let later merge passes fill them
+    take = min(KBuild, W)
+    top_d = sorted_d[:, :, :take]
+    top_ids = starts[:, None, None] + sorted_c[:, :, :take]
     top_ids = jnp.where(jnp.isinf(top_d), -1, top_ids)
+    if take < KBuild:
+        top_ids = jnp.pad(
+            top_ids, ((0, 0), (0, 0), (0, KBuild - take)), constant_values=-1
+        )
 
     # 1-NN statistic = second-best non-self distance (top_merge_layer.cu:77)
     nn1 = sorted_d[:, :, 1]
