@@ -130,11 +130,20 @@ def main():
         n = 1_000_000 - 1_000_000 % 1  # full scale
     nq = int(os.environ.get("GGNN_BENCH_NQ", 10_000))
     k_query = 10
-    k_build = 24
+    # Graph degree 48 (reference envelope [20,96], docs/source/ann.rst:16-53):
+    # the adjacency fetch is DMA-descriptor-bound on TPU (~44 ns/descriptor,
+    # ops/adjacency_pallas.py), so doubling the per-fetch block from 3 KB to
+    # 6 KB is nearly free while doubling candidates per pop -- measured at
+    # 262k: c@1 0.946 @ 232k QPS (iters=32) vs k=24/group=2's 0.919 @ 154k
+    # (iters=48). The reference picks k=24 for GPU shared-memory sizing; the
+    # TPU engine has no such constraint (scratch/kbuild_ab_262k.py).
+    k_build = int(os.environ.get("GGNN_BENCH_K", 48))
     tau_build = 0.5
     max_iterations = 400
 
-    group = int(os.environ.get("GGNN_BENCH_GROUP", 2))
+    # group=1 with k=48: one node's true 48-NN per fetch beats group=2's
+    # paired 2x24 lists at equal bytes (recall per pop is the whole game)
+    group = int(os.environ.get("GGNN_BENCH_GROUP", 1))
     set_log_level(int(os.environ.get("GGNN_BENCH_VERBOSE", 0)))
     print(f"# devices: {jax.devices()}", file=sys.stderr)
 
@@ -238,11 +247,13 @@ def main():
     qkw = {"engine": "fused", "pops_per_iter": 8, "num_seeds": 16,
            "rerank": max(16, k_query + 6)}
     sweep = [
-        (0.34, 32), (0.41, 32), (0.51, 32),
-        (0.45, 40), (0.51, 40), (0.64, 40),
-        (0.34, 48), (0.41, 48), (0.51, 48), (0.64, 48),
-        (0.34, 64), (0.41, 64), (0.51, 64),
-        (0.34, 100), (0.41, 100), (0.51, 100), (0.64, 100),
+        (0.51, 16), (0.64, 16),
+        (0.51, 24), (0.64, 24),
+        (0.51, 32), (0.64, 32),
+        (0.51, 40), (0.64, 40),
+        (0.41, 48), (0.51, 48), (0.64, 48),
+        (0.41, 64), (0.51, 64),
+        (0.41, 100), (0.51, 100), (0.64, 100),
         (0.41, 200), (0.64, 200),
         (0.8, 200), (1.0, 400), (1.3, 400),
     ]

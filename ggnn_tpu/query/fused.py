@@ -787,12 +787,14 @@ def fused_query(
         use_pallas = jax.default_backend() not in ("cpu",)
     # chunk plan: pad the tail chunk only to the next power of two (>= 256),
     # not to the full chunk: 10k queries run as 8192 + 2048 instead of
-    # 8192 + 8192 -- the lock-step sweep pays for every padded row
+    # 8192 + 8192 -- the lock-step sweep pays for every padded row. A
+    # non-pow2 ``chunk`` (e.g. 10240 = one tile for a 10k batch) caps the
+    # padding at the chunk itself instead of overshooting to the next pow2.
     chunk = min(chunk, max(256, 1 << (Q - 1).bit_length()))
     plan = []
     for lo in range(0, Q, chunk):
         rows = min(chunk, Q - lo)
-        plan.append((lo, max(256, 1 << (rows - 1).bit_length())))
+        plan.append((lo, min(chunk, max(256, 1 << (rows - 1).bit_length()))))
     return _fused_query_chunks(
         query, index, base, base_sq, tau,
         chunk_plan=tuple(plan), shard_base=shard_base,
