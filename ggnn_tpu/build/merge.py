@@ -25,7 +25,7 @@ from ggnn_tpu.config import MERGE_MAX_ITERATIONS, DistanceMeasure, GraphConfig
 from ggnn_tpu.ops.beam import beam_init, beam_insert, beam_transform
 from ggnn_tpu.ops.distance import dist_block
 from ggnn_tpu.ops.traverse import best_first_search, gather_dists, seed_beam
-from ggnn_tpu.query.fused import fused_best_first
+from ggnn_tpu.query.fused import fused_best_first, fused_best_first_compacted
 
 __all__ = ["merge_layer"]
 
@@ -54,8 +54,8 @@ def _top_seg_offset(n, layer_top, layer_btm, cfg: GraphConfig):
     ),
 )
 def _merge_chunk(
-    n,  # [B] node ids of layer_btm
-    row_valid,  # [B] bool (padding mask)
+    n,  # [B] node ids of layer_btm (tail chunks clamp ids; extra rows are
+    #     recomputed duplicates that the caller slices off)
     base,
     base_sq,
     neighbors,  # tuple of L neighbor tables
@@ -109,6 +109,12 @@ def _merge_chunk(
             seed_d_all, min(num_seeds, rep_vecs.shape[0])
         )
         seed_ids = rep_local[pos].astype(jnp.int32)
+        # when n is itself a representative its distance-0 seed would
+        # duplicate the own-id insert below, violating beam_insert's
+        # unique-ids contract (the survivor becomes a wasted self-link slot)
+        dup = seed_ids == n[:, None]
+        seed_ids = jnp.where(dup, jnp.int32(-1), seed_ids)
+        seed_d = jnp.where(dup, jnp.inf, seed_d)
         no_crit = jnp.full((B,), jnp.inf, jnp.float32)
         state = beam_insert(state, seed_ids, seed_d, criteria=no_crit)
         trans_btm = translation[layer_btm] if layer_btm else None
@@ -156,6 +162,23 @@ def _merge_chunk(
             # Applied at EVERY descent layer: the upper-layer legs ran on
             # 512 B row gathers and cost more than the layer-0 search
             # (measured 262k: merge[2->0] 38.4 s vs merge[1->0] 17.7 s).
+            if layer == layer_btm:
+                # final leg: rows run to CONVERGENCE, so converged-row
+                # compaction pays off here (the query sweep's phase
+                # machinery, bit-identical; only the k_best prefix is
+                # needed downstream -- no state survives this leg)
+                beam_out = fused_best_first_compacted(
+                    state,
+                    q_vecs,
+                    q_sq,
+                    adj_l,
+                    measure,
+                    MERGE_MAX_ITERATIONS,
+                    k_best=k_best,
+                    pops_per_iter=pops_per_iter,
+                    use_pallas=use_pallas,
+                )
+                break
             state = fused_best_first(
                 state,
                 q_vecs,
@@ -181,9 +204,11 @@ def _merge_chunk(
                 k_best=k_best,
                 pops_per_iter=pops_per_iter,
             )
+    else:
+        beam_out = state.best(k_best)
 
     # write-out with self-link removal (merge_layer.cu:123-145)
-    best_i, best_d = state.best(k_best)  # [B, KBuild+1]
+    best_i, best_d = beam_out  # [B, KBuild+1]
     own_eq = best_i[:, :KBuild] == n[:, None]
     own_found = jnp.any(own_eq, axis=-1)
     own_pos = jnp.where(own_found, jnp.argmax(own_eq, axis=-1), -1).astype(jnp.int32)
@@ -256,11 +281,9 @@ def merge_layer(
             # (the axon relay kills waits over ~70 s; see utils.hard_sync)
             hard_sync(out_rows[-1])
         ids = jnp.arange(start, start + chunk, dtype=jnp.int32)
-        valid = ids < Ns
         ids = jnp.minimum(ids, Ns - 1)
         rows, nn1 = _merge_chunk(
             ids,
-            valid,
             base,
             base_sq,
             neighbors,

@@ -237,6 +237,7 @@ class GGNN:
         self._back_to_front = False
         self._ici_merge = True
         self._ici_cache = None
+        self._ici_bf_cache = None
         self.last_build_stats: dict | None = None
 
     # --- configuration (ggnn.cuh:66-123) ----------------------------------
@@ -296,6 +297,7 @@ class GGNN:
         result_merger.cpp:79-142). Results are identical either way."""
         self._ici_merge = bool(enabled)
         self._ici_cache = None
+        self._ici_bf_cache = None
 
     # --- shard planning (ggnn.cu:154-203) ----------------------------------
 
@@ -480,9 +482,14 @@ class GGNN:
             shard.wait()
             self._stage_in(shard)
             cached = shard.fused_index_host
-            graph_h = shard.graph_host if shard.graph_host is not None else shard.graph
+            # validate only against a HOST graph copy: fingerprinting a
+            # device-resident graph would D2H the whole layer-0 adjacency
+            # through the relay (minutes at 1M) just to check a hash --
+            # with no host copy, rebuilding on device is strictly cheaper
+            graph_h = shard.graph_host
             if (
                 isinstance(cached, FusedIndexMeta)
+                and graph_h is not None
                 and cached.members.shape[1] == group
                 and fused_index_matches_graph(cached, graph_h, self._cfg.KBuild)
             ):
@@ -963,6 +970,47 @@ class GGNN:
             fut.result()
         return partials
 
+    def _try_ici_bf(self, query, k_gt: int, measure):
+        """Run multi-device brute force as ONE shard_map program with an
+        on-device ICI merge when the layout allows (one HBM-resident base
+        shard per device). Returns merged global (ids, dists) device arrays
+        or None for the sequential per-shard + host-merge sweep. The
+        reference's bfQuery is single-GPU only (ggnn.cu:338-339) -- pod-scale
+        GT generation is a capability the TPU collectives add outright."""
+        if not self._ici_merge or len(self._shards) < 2:
+            return None
+        devices = [s.device for s in self._shards]
+        if len(set(devices)) != len(devices):
+            return None  # several shards per device: out-of-core sweep
+        for s in self._shards:
+            if s._pending is not None:
+                s.wait()
+            s.ensure_base()
+            if s.base_dev is None:
+                return None
+        from ggnn_tpu.parallel.sharded import (  # noqa: PLC0415
+            AXIS, make_mesh, sharded_bf_query,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+        cache_key = tuple((s.shard_id, id(s.base_dev)) for s in self._shards)
+        cache = self._ici_bf_cache
+        if cache is None or cache[0] != cache_key:
+            mesh = make_mesh(devices)
+            sh = NamedSharding(mesh, PartitionSpec(AXIS))
+            leaves = [
+                jax.device_put(jnp.expand_dims(s.base_dev, 0), d)
+                for s, d in zip(self._shards, devices)
+            ]
+            base_stack = jax.make_array_from_single_device_arrays(
+                (len(leaves),) + tuple(leaves[0].shape[1:]), sh, leaves
+            )
+            self._ici_bf_cache = (cache_key, mesh, base_stack)
+        _, mesh, base_stack = self._ici_bf_cache
+        return sharded_bf_query(
+            mesh, base_stack, jnp.asarray(query), k_gt, measure
+        )
+
     def bf_query(
         self,
         query,
@@ -981,6 +1029,10 @@ class GGNN:
             q_dev = jax.device_put(query, self._devices[0])
             ids, dists = bruteforce_knn(base_dev, q_dev, k_gt, measure)
             return self._finalize(ids, dists)
+
+        ici = self._try_ici_bf(query, k_gt, measure)
+        if ici is not None:
+            return self._finalize(*ici)
 
         n_shard = self._cfg.N
         partials = []

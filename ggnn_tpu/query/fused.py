@@ -275,7 +275,12 @@ def build_fused_index(
     matching the reference's native SIFT1B uint8 mode (BaseT=uint8,
     lib.h:23-75). ``group`` controls the paired-block layout (see
     FusedIndex; group=1 restores one block per node)."""
-    members_np = match_groups(np.asarray(graph.neighbors[0]), group)
+    if group <= 1:
+        # trivial matching -- skip the layer-0 adjacency D2H entirely
+        N = graph.neighbors[0].shape[0]
+        members_np = np.arange(N, dtype=np.int32)[:, None]
+    else:
+        members_np = match_groups(np.asarray(graph.neighbors[0]), group)
     return assemble_fused_index(base, graph, members=members_np)
 
 
@@ -290,17 +295,23 @@ def assemble_fused_index(
     """Assemble the device-resident index from a group matching (and
     optionally a stored quantizer). Deterministic given (base, graph,
     members): reloading a meta sidecar reproduces the stored index
-    bit-for-bit from the current graph."""
-    base_np = np.asarray(base)
+    bit-for-bit from the current graph.
+
+    With scale/zero supplied (the meta-sidecar stage-in path) the base is
+    never pulled host-side: a device-resident base stays on device, so
+    reconstructing the GB-scale code tables costs one gather, not a
+    relay D2H+H2D round trip of the whole base."""
     if scale is None or zero is None:
-        if base_np.dtype == np.uint8:
-            scale = np.ones((base_np.shape[1],), np.float32)
-            zero = np.zeros((base_np.shape[1],), np.float32)
+        if np.dtype(base.dtype) == np.uint8:
+            D = base.shape[1]
+            scale = np.ones((D,), np.float32)
+            zero = np.zeros((D,), np.float32)
         else:
-            scale, zero = fit_affine_u8(base_np)
+            # the quantile fit runs on host -- the one path that needs bytes
+            scale, zero = fit_affine_u8(np.asarray(base))
     scale_j = jnp.asarray(scale)
     zero_j = jnp.asarray(zero)
-    base_f32 = jnp.asarray(base_np).astype(jnp.float32)
+    base_f32 = jnp.asarray(base).astype(jnp.float32)
     codes = _encode_u8(base_f32, scale_j, zero_j)
     # exact squared norms of the DEQUANTIZED points: the walk's metric
     x_hat_sq = squared_norms(
@@ -524,6 +535,129 @@ def fused_best_first(
     return state
 
 
+def fused_best_first_compacted(
+    state,
+    q_vecs,
+    q_sq,
+    index,
+    measure: DistanceMeasure,
+    max_iterations: int,
+    k_best: int,
+    pops_per_iter: int = 8,
+    cap: int | None = None,
+    use_pallas: bool | None = None,
+    compact_levels: int = 3,
+):
+    """:func:`fused_best_first` with converged-row compaction; returns the
+    final ``k_best`` beam columns (ids, dists) per row instead of the state.
+
+    Bit-identical to the plain loop (see :func:`_best_first_phases`). Used
+    by the construction merge, whose rows run to CONVERGENCE (not a fixed
+    budget) -- the lock-step tile otherwise pays the full per-step
+    sort/merge cost for the straggler tail."""
+    P = max(1, pops_per_iter)
+    if cap is None:
+        cap = max(64, (P * index.cand_per_fetch) // 4)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    steps = -(-max_iterations // P)
+    meta = _pack_meta(index.nbr_ids, index.nbr_sq)
+    return _best_first_phases(
+        state, q_vecs, q_sq, index, meta, measure,
+        steps=steps, k_best=k_best, P=P, cap=cap, use_pallas=use_pallas,
+        k_out=k_best, compact_levels=compact_levels, want_d=True,
+    )
+
+
+def _best_first_phases(
+    state,
+    q_vecs,
+    q_sq,
+    index,
+    meta,
+    measure: DistanceMeasure,
+    *,
+    steps: int,
+    k_best: int,
+    P: int,
+    cap: int,
+    use_pallas: bool,
+    k_out: int,
+    compact_levels: int,
+    xi_update=None,
+    want_d: bool = False,
+    min_rows: int = 256,
+):
+    """The best-first sweep as PHASES of statically halving row counts.
+
+    Rows walk independently, so once enough rows of the lock-step tile have
+    converged the live rows are compacted into a half-size sub-tile that
+    keeps stepping, and so on. Every non-converged row still receives its
+    full pop budget, so results are BIT-IDENTICAL to the single-phase sweep
+    -- but converged rows stop paying the per-step sort/merge cost the
+    moment the stragglers fit a smaller tile. This recovers the reference's
+    free per-block exit (query_layer.cu:57-79: each CUDA block simply
+    returns when its queue empties). Shared by the query engine and the
+    construction merge, where rows run to convergence and the straggler
+    tail dominates the lock-step cost.
+
+    Returns the first ``k_out`` beam columns per original row:
+    (ids [B, k_out], dists [B, k_out] or None if not ``want_d``).
+    ``xi_update``: optional per-step slack tightening (the query's dynamic
+    criterion, query_layer.cu:58-63).
+    """
+    B = q_vecs.shape[0]
+    caps = [B]
+    for _ in range(max(0, compact_levels)):
+        if caps[-1] // 2 >= min_rows:  # tiny tiles underfill the VPU
+            caps.append(caps[-1] // 2)
+
+    def run_phase(st, q, qs, it, live, min_live):
+        def cond(carry):
+            _st, it_, live_ = carry
+            return (it_ < steps) & (jnp.sum(live_) > min_live)
+
+        def body(carry):
+            st_, it_, _ = carry
+            if xi_update is not None:
+                st_ = st_._replace(xi=xi_update(st_))
+            st_, active = _fused_step(
+                st_, q, qs, index, meta, measure,
+                k_best=k_best, P=P, cap=cap, use_pallas=use_pallas,
+            )
+            return st_, it_ + 1, active
+
+        return jax.lax.while_loop(cond, body, (st, it, live))
+
+    live = jnp.ones((B,), bool)
+    it = jnp.int32(0)
+    st, q, qs = state, q_vecs, q_sq
+    idx = jnp.arange(B, dtype=jnp.int32)  # original row of each tile row
+    out_i = None
+    out_d = None
+    for pi, rows in enumerate(caps):
+        next_min = caps[pi + 1] if pi + 1 < len(caps) else 0
+        if pi:
+            # stable sort brings live rows to the front in original order;
+            # phase pi-1 exited with <= ``rows`` live rows (or out of budget,
+            # in which case the loops below run zero iterations)
+            key = (~live).astype(jnp.int32)
+            pos_ = jnp.arange(live.shape[0], dtype=jnp.int32)
+            _, order = jax.lax.sort(
+                (key, pos_), dimension=-1, num_keys=1, is_stable=True
+            )
+            sel = order[:rows]
+            st = jax.tree.map(lambda a: a[sel], st)
+            q, qs, live, idx = q[sel], qs[sel], live[sel], idx[sel]
+        st, it, live = run_phase(st, q, qs, it, live, next_min)
+        ii = st.i[:, :k_out]
+        out_i = ii if out_i is None else out_i.at[idx].set(ii)
+        if want_d:
+            dd = st.d[:, :k_out]
+            out_d = dd if out_d is None else out_d.at[idx].set(dd)
+    return out_i, out_d
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -588,62 +722,18 @@ def _fused_query_tile(
     steps = -(-max_iterations // P)
     meta = _pack_meta(index.nbr_ids, index.nbr_sq)
 
-    # --- converged-row compaction (the lock-step tile's dominant waste) ---
-    # Rows walk independently, so the sweep runs in PHASES of statically
-    # halving row counts: the full tile steps until the live-row count fits
-    # in half the tile, then the live rows are compacted into a [B/2]-row
-    # sub-tile that keeps stepping, and so on. Every non-converged row still
-    # receives its full pop budget, so results are BIT-IDENTICAL to the
-    # single-phase sweep -- but converged rows stop paying the per-step
-    # sort/merge cost the moment the stragglers fit a smaller tile. This
-    # recovers the reference's free per-block exit (query_layer.cu:57-79:
-    # each CUDA block simply returns when its queue empties).
-    caps = [B]
-    for _ in range(max(0, compact_levels)):
-        if caps[-1] // 2 >= 256:  # tiles below 256 rows underfill the VPU
-            caps.append(caps[-1] // 2)
-
-    def run_phase(st, q, qs, it, live, min_live):
-        def cond(carry):
-            _st, it_, live_ = carry
-            return (it_ < steps) & (jnp.sum(live_) > min_live)
-
-        def body(carry):
-            st_, it_, _ = carry
-            st_ = st_._replace(xi=dyn(st_))
-            st_, active = _fused_step(
-                st_, q, qs, index, meta, measure,
-                k_best=k_query, P=P, cap=cap, use_pallas=use_pallas,
-            )
-            return st_, it_ + 1, active
-
-        return jax.lax.while_loop(cond, body, (st, it, live))
-
-    live = jnp.ones((B,), bool)
-    it = jnp.int32(0)
-    st, q, qs = state, q_vecs, q_sq
-    idx = jnp.arange(B, dtype=jnp.int32)  # original row of each tile row
-    result_i = None  # full-size candidate ids (all the re-rank needs)
-    for pi, rows in enumerate(caps):
-        next_min = caps[pi + 1] if pi + 1 < len(caps) else 0
-        if pi:
-            # stable sort brings live rows to the front in original order;
-            # phase pi-1 exited with <= ``rows`` live rows (or out of budget,
-            # in which case the loops below run zero iterations)
-            key = (~live).astype(jnp.int32)
-            pos_ = jnp.arange(live.shape[0], dtype=jnp.int32)
-            _, order = jax.lax.sort(
-                (key, pos_), dimension=-1, num_keys=1, is_stable=True
-            )
-            sel = order[:rows]
-            st = jax.tree.map(lambda a: a[sel], st)
-            q, qs, live, idx = q[sel], qs[sel], live[sel], idx[sel]
-        st, it, live = run_phase(st, q, qs, it, live, next_min)
-        result_i = st.i if result_i is None else result_i.at[idx].set(st.i)
+    # converged-row compaction (see _best_first_phases): results are
+    # bit-identical to the single-phase sweep, stragglers step in smaller
+    # tiles. Only the top-R candidate ids are needed for the re-rank.
+    R = min(rerank, width)
+    result_i, _ = _best_first_phases(
+        state, q_vecs, q_sq, index, meta, measure,
+        steps=steps, k_best=k_query, P=P, cap=cap, use_pallas=use_pallas,
+        k_out=R, compact_levels=compact_levels, xi_update=dyn,
+    )
 
     # --- exact re-rank of the top survivors (one small f32 gather) ---
-    R = min(rerank, width)
-    cand = result_i[:, :R]
+    cand = result_i
     safe = jnp.clip(cand, 0, None)
     vecs = base[safe].astype(jnp.float32)  # [B, R, D]
     dot = jnp.einsum(
@@ -881,9 +971,15 @@ def save_fused_index(path: str | Path, index, graph=None) -> None:
 
 
 def load_fused_index(path: str | Path) -> FusedIndexMeta:
-    """Load a fused-index sidecar as its meta (works for both the meta-v2
-    format and legacy full dumps, whose extra derived arrays are ignored)."""
+    """Load a fused-index sidecar as its meta. Legacy full dumps (pre
+    meta-v2, no ``graph_fp`` field) load with an all-zeros fingerprint,
+    which :func:`fused_index_matches_graph` treats as unvalidatable --
+    they are therefore rejected downstream and rebuilt, never trusted."""
     with np.load(Path(path), allow_pickle=False) as f:
-        return FusedIndexMeta(
-            **{k: np.asarray(f[k]) for k in FusedIndexMeta._fields}
-        )
+        vals = {}
+        for k in FusedIndexMeta._fields:
+            if k == "graph_fp" and k not in f:
+                vals[k] = np.zeros((32,), np.uint8)
+            else:
+                vals[k] = np.asarray(f[k])
+        return FusedIndexMeta(**vals)

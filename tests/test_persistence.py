@@ -144,3 +144,75 @@ def test_cpu_memory_limit_spills_to_disk(tmp_path, rng):
     g2.build(k_build=KB, tau_build=0.5, refinement_iterations=0)
     ids2, _ = g2.query(query, 10, tau_query=0.7, max_iterations=100)
     np.testing.assert_array_equal(ids, ids2)
+
+
+def test_group_mismatched_sidecar_triggers_rebuild(tmp_path, rng):
+    """load() then build_fused_index(group=G) with a sidecar stored at a
+    different group must rebuild the index at the requested group instead
+    of trusting the cached matching (VERDICT r3 item 9)."""
+    base = rng.normal(size=(N, D)).astype(np.float32)
+    query = rng.normal(size=(8, D)).astype(np.float32)
+    g = GGNN()
+    g.set_base(base)
+    g.set_working_directory(tmp_path)
+    g.build(k_build=KB, tau_build=0.5, refinement_iterations=0)
+    g.build_fused_index(group=2)
+    g.store()
+
+    g2 = GGNN()
+    g2.set_base(base)
+    g2.set_working_directory(tmp_path)
+    g2.load(k_build=KB)
+    assert g2.has_fused_index()  # the group=2 meta sidecar loaded
+    g2.build_fused_index(group=1)  # different group: must NOT reuse it
+    idx = g2._shards[0].fused_index
+    assert idx is not None and idx.members.shape[1] == 1
+    assert g2._shards[0].fused_index_host is None  # stale meta dropped
+    ids, _ = g2.query(query, 10, tau_query=0.5, max_iterations=100,
+                      engine="fused")
+
+    # same group: the sidecar is reused bit-for-bit
+    g3 = GGNN()
+    g3.set_base(base)
+    g3.set_working_directory(tmp_path)
+    g3.load(k_build=KB)
+    g3.build_fused_index(group=2)
+    assert g3._shards[0].fused_index.members.shape[1] == 2
+    ids3, _ = g3.query(query, 10, tau_query=0.5, max_iterations=100,
+                       engine="fused")
+    ids1, _ = g.query(query, 10, tau_query=0.5, max_iterations=100,
+                      engine="fused")
+    np.testing.assert_array_equal(np.asarray(ids3), np.asarray(ids1))
+
+
+def test_legacy_fused_sidecar_rejected_not_crashing(tmp_path, rng):
+    """Pre-meta-v2 sidecars lack the graph_fp field: load_fused_index must
+    fall back to an all-zeros fingerprint (treated as unvalidatable and
+    rebuilt), never raise KeyError (ADVICE r3, low)."""
+    from ggnn_tpu.query.fused import (
+        fused_index_matches_graph, load_fused_index,
+    )
+
+    base = rng.normal(size=(N, D)).astype(np.float32)
+    g = GGNN()
+    g.set_base(base)
+    g.set_working_directory(tmp_path)
+    g.build(k_build=KB, tau_build=0.5, refinement_iterations=0)
+    g.build_fused_index()
+    g.store()
+    sidecar = tmp_path / "part_0.fused.npz"
+    with np.load(sidecar, allow_pickle=False) as f:
+        legacy = {k: f[k] for k in f.files if k != "graph_fp"}
+    np.savez(sidecar, **legacy)
+
+    meta = load_fused_index(sidecar)  # must not raise
+    assert not np.any(meta.graph_fp)
+    assert not fused_index_matches_graph(
+        meta, g._shards[0].graph_host, KB
+    )
+
+    g2 = GGNN()
+    g2.set_base(base)
+    g2.set_working_directory(tmp_path)
+    g2.load(k_build=KB)
+    assert not g2.has_fused_index()  # rejected, not trusted

@@ -263,3 +263,27 @@ def test_ggnn_ici_merge_matches_host_merge(data):
     ids_ooc, _ = g.query(query, 10, tau_query=0.7, max_iterations=64,
                          engine="fused")
     np.testing.assert_array_equal(np.asarray(ids_ooc), np.asarray(ids_host))
+
+
+def test_ggnn_bf_query_ici_matches_host_merge(data):
+    """Multi-device bf_query runs as ONE shard_map program with an ICI
+    merge when each device holds one resident base shard, and must match
+    both the sequential host-merge sweep and the exact oracle (VERDICT r3
+    item 8; the reference's bfQuery is single-GPU only, ggnn.cu:338-339)."""
+    base, query = data
+    g = GGNN()
+    g.set_base(base)
+    g.set_devices(jax.devices()[:4])
+    g._prepare(KB)  # bf needs shards, not a graph
+
+    ids_ici, d_ici = g.bf_query(query, k_gt=10)
+    assert g._ici_bf_cache is not None  # the one-program ICI path ran
+    g.set_ici_merge(False)
+    ids_host, d_host = g.bf_query(query, k_gt=10)
+    assert g._ici_bf_cache is None
+
+    np.testing.assert_allclose(np.asarray(d_ici), np.asarray(d_host), rtol=1e-5)
+    d = ((query[:, None] - base[None]) ** 2).sum(-1)
+    want = np.argsort(d, axis=1)[:, :10]
+    assert (np.asarray(ids_ici) == want).mean() > 0.99
+    assert (np.asarray(ids_host) == want).mean() > 0.99
