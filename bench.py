@@ -74,7 +74,7 @@ def make_dataset(n, nq, d=128, d_latent=24, seed=0):
 
 
 def _run_config(g, evaluator, query_dev, nq, k_query, tau_query, iters, qkw,
-                best):
+                best, pops_per_iter=8):
     """Warm + time one (tau, iters) sweep point; fold into ``best``.
 
     Two warmups (the relay's first dispatches after a build are slow), then
@@ -92,6 +92,7 @@ def _run_config(g, evaluator, query_dev, nq, k_query, tau_query, iters, qkw,
     from ggnn_tpu.utils.timing import hard_sync
 
     reps = 5
+    qkw = dict(qkw, pops_per_iter=pops_per_iter)
     g.set_return_results_on_device(True)
     try:
         for _ in range(2):
@@ -114,13 +115,13 @@ def _run_config(g, evaluator, query_dev, nq, k_query, tau_query, iters, qkw,
     ev = evaluator.evaluate_results(ids)
     qps = nq / elapsed
     print(
-        f"# tau={tau_query} iters={iters}: c@1={ev.c1:.4f} "
+        f"# tau={tau_query} iters={iters} P={pops_per_iter}: c@1={ev.c1:.4f} "
         f"c@10={ev.cKQuery:.4f} qps={qps:,.0f}",
         file=sys.stderr,
     )
     if ev.c1 >= 0.90 and (best is None or qps > best["qps"]):
-        best = {"tau": tau_query, "iters": iters, "qps": qps, "c1": ev.c1,
-                "c10": ev.cKQuery}
+        best = {"tau": tau_query, "iters": iters, "P": pops_per_iter,
+                "qps": qps, "c1": ev.c1, "c10": ev.cKQuery}
     return best
 
 
@@ -128,7 +129,12 @@ def main():
     n = int(os.environ.get("GGNN_BENCH_N", 262_144))
     if os.environ.get("GGNN_BENCH_FULL"):
         n = 1_000_000 - 1_000_000 % 1  # full scale
-    nq = int(os.environ.get("GGNN_BENCH_NQ", 10_000))
+    # 50k queries per dispatched program: the per-dispatch relay floor
+    # (~2.6 ms) and the padded tail chunk are pure overhead at 10k batches
+    # (+20-25% QPS at 50k, scratch/bigbatch_262k.py). Distinct queries with
+    # real brute-force GT -- a bigger batch, not replication; the reference
+    # measures its own 10k batch the same way (kernel-span cudaEvents).
+    nq = int(os.environ.get("GGNN_BENCH_NQ", 50_000))
     k_query = 10
     # Graph degree 48 (reference envelope [20,96], docs/source/ann.rst:16-53):
     # the adjacency fetch is DMA-descriptor-bound on TPU (~44 ns/descriptor,
@@ -244,38 +250,44 @@ def main():
     # rerank=16 (vs the default 32) and approx_min_k seeding measured
     # recall-identical at k_query=10 and +25% QPS together (scratch/
     # fixed_cost_ab2.py: 144.0k vs 114.9k at the 262k headline point)
-    qkw = {"engine": "fused", "pops_per_iter": 8, "num_seeds": 16,
+    qkw = {"engine": "fused", "num_seeds": 16,
            "rerank": max(16, k_query + 6)}
+    # (tau, pop budget, pops_per_iter), cheapest-first. P=5 merges the beam
+    # after every 5 pops: at equal budget that buys ~2.5 recall points over
+    # P=8 (more merge points -> better-informed pops) while the extra sorts
+    # hide under the DMA-descriptor-bound fetch (scratch/step_pieces_262k.py,
+    # scratch/bigbatch_262k.py -- 325k vs 266k QPS at c@1>=0.91, 262k).
     sweep = [
-        (0.51, 16), (0.64, 16),
-        (0.51, 24), (0.64, 24),
-        (0.51, 32), (0.64, 32),
-        (0.51, 40), (0.64, 40),
-        (0.41, 48), (0.51, 48), (0.64, 48),
-        (0.41, 64), (0.51, 64),
-        (0.41, 100), (0.51, 100), (0.64, 100),
-        (0.41, 200), (0.64, 200),
-        (0.8, 200), (1.0, 400), (1.3, 400),
+        (0.64, 15, 5), (0.64, 20, 5),
+        (0.64, 24, 4), (0.64, 25, 5), (0.64, 24, 8),
+        (0.64, 30, 5), (0.64, 32, 8),
+        (0.64, 35, 5), (0.51, 35, 5),
+        (0.64, 40, 5), (0.41, 48, 8), (0.51, 48, 8), (0.64, 48, 8),
+        (0.41, 64, 8), (0.51, 64, 8),
+        (0.41, 100, 8), (0.51, 100, 8), (0.64, 100, 8),
+        (0.41, 200, 8), (0.64, 200, 8),
+        (0.8, 200, 8), (1.0, 400, 8), (1.3, 400, 8),
     ]
     best = None
-    for tau_query, iters in sweep:
+    for tau_query, iters, pops in sweep:
         iters = min(iters, max_iterations) if max_iterations else iters
         try:
             best = _run_config(
                 g, evaluator, query_dev, nq, k_query, tau_query, iters, qkw,
-                best,
+                best, pops_per_iter=pops,
             )
         except Exception as e:  # relay crash mid-sweep: keep what we have
             print(f"# tau={tau_query} iters={iters}: ERROR {e}", file=sys.stderr)
             time.sleep(60)  # the relay usually recovers in ~60 s
             continue
-        # the sweep is ordered cheapest-first; once a config qualifies, any
-        # point with a strictly larger pop budget can only be slower -- but
-        # finish the current budget tier (other taus at the same iters may
-        # qualify with higher QPS before converged-row skipping kicks in)
+        # the sweep is ordered cheapest-first; once a config qualifies, a
+        # point with a much larger pop budget can only be slower. The +8
+        # slack keeps near-budget neighbors in play: different P at nearly
+        # equal budget can qualify with higher QPS (e.g. P=5/it=25 beats a
+        # qualifying P=4/it=24 -- scratch/bigbatch_262k.py)
         if (
             best is not None
-            and iters > best["iters"]
+            and iters > best["iters"] + 8
             and not os.environ.get("GGNN_BENCH_CURVE")
         ):
             break  # GGNN_BENCH_CURVE=1 runs every point (anchor-curve tables)
@@ -297,6 +309,7 @@ def main():
             "tau_build": tau_build,
             "tau_query": best["tau"],
             "max_iterations": best.get("iters") or max_iterations,
+            "pops_per_iter": best.get("P"),
             "group": group,
             "c1": round(best["c1"], 4),
             "c10": round(best["c10"], 4),

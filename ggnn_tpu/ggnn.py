@@ -670,6 +670,7 @@ class GGNN:
         "compact_levels": (("fused",), 2),
         "seed_approx": (("fused",), True),
         "width": (("fused",), None),
+        "use_pallas": (("fused",), None),
     }
 
     def query(

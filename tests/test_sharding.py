@@ -160,6 +160,15 @@ def test_query_rejects_inapplicable_engine_kwargs(data):
         g.query(query, 10, tau_query=0.7, engine="row", rerank=32)
     with pytest.raises(TypeError):
         g.query(query, 10, tau_query=0.7, engine="row", bogus_knob=1)
+    with pytest.raises(ValueError, match="does not accept"):
+        g.query(query, 10, tau_query=0.7, engine="row", use_pallas=False)
+    # fused accepts the fetch-path override; forcing the XLA gather path on
+    # CPU must match the default exactly (same walk, different fetch lowering)
+    g.build_fused_index()
+    a, _ = g.query(query, 10, tau_query=0.7, max_iterations=64, engine="fused")
+    b, _ = g.query(query, 10, tau_query=0.7, max_iterations=64,
+                   engine="fused", use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_device_resident_query_stays_on_device(data):
