@@ -83,8 +83,10 @@ class FusedIndex(NamedTuple):
       nbr_ids: [NG, G*K] i32 -- the group members' neighbor ids, member-major
         (-1 = empty slot).
       nbr_codes: [NG, G*K, D] u8 -- their quantized vectors, inline.
-      nbr_sq: [NG, G*K] f32 -- squared norms of the dequantized neighbors
-        (+inf at empty slots).
+      meta: [NG, 2H] i32 -- the walk's per-anchor metadata row, PRE-packed
+        (ids, then bitcast f32 dequantized-norms; see :func:`_pack_meta`).
+        Packed once at assembly: packing per query call materialized an
+        [NG, 2H] i32 array per dispatch (~0.5 ms at 262k, ~2 ms at 1M).
       group_of: [N] i32 -- node id -> its group (the fetch address map).
       members: [NG, G] i32 -- group -> member node ids (-1 pad; validation +
         introspection).
@@ -98,7 +100,7 @@ class FusedIndex(NamedTuple):
 
     nbr_ids: jax.Array
     nbr_codes: jax.Array
-    nbr_sq: jax.Array
+    meta: jax.Array
     group_of: jax.Array
     members: jax.Array
     scale: jax.Array
@@ -340,7 +342,7 @@ def assemble_fused_index(
     return FusedIndex(
         nbr_ids=grp_nbrs,
         nbr_codes=nbr_codes,
-        nbr_sq=nbr_sq,
+        meta=_pack_meta(grp_nbrs, nbr_sq),
         group_of=jnp.asarray(group_of_np),
         members=members,
         scale=scale_j,
@@ -360,7 +362,7 @@ class AdjacencyTables(NamedTuple):
 
     nbr_ids: jax.Array  # [N, K] i32
     nbr_codes: jax.Array  # [N, K, D] u8
-    nbr_sq: jax.Array  # [N, K] f32 (dequantized-norms; inf where EMPTY)
+    meta: jax.Array  # [N, 2H] i32 pre-packed walk metadata (_pack_meta)
     scale: jax.Array  # [D] f32
     zero: jax.Array  # [D] f32
 
@@ -382,7 +384,8 @@ def make_adjacency(codes, x_hat_sq, nbr0, scale, zero) -> AdjacencyTables:
     per-pass equivalent of build_fused_index."""
     nbr_codes, nbr_sq = _gather_codes(codes, x_hat_sq, nbr0)
     return AdjacencyTables(
-        nbr_ids=nbr0, nbr_codes=nbr_codes, nbr_sq=nbr_sq, scale=scale, zero=zero
+        nbr_ids=nbr0, nbr_codes=nbr_codes, meta=_pack_meta(nbr0, nbr_sq),
+        scale=scale, zero=zero,
     )
 
 
@@ -394,8 +397,9 @@ def _pack_meta(nbr_ids: jax.Array, nbr_sq: jax.Array) -> jax.Array:
     [NG, Kc] tables issues 96-192 B row fetches, which XLA:TPU executes
     ~50x below the 512 B-row gather rate (the same pathology documented at
     build/sym.py:_pad_rows_to_lanes); packing ids+norms into one >=128-lane
-    row makes it a single aligned >=512 B fetch. Computed once per query
-    tile -- loop-invariant, so XLA hoists it out of the sweep.
+    row makes it a single aligned >=512 B fetch. Packed ONCE at index
+    assembly (FusedIndex.meta / AdjacencyTables.meta): per-call packing
+    materialized the full [NG, 2H] table every dispatch.
     """
     NG, Kc = nbr_ids.shape
     H = max(64, -(-Kc // 64) * 64)
@@ -515,7 +519,7 @@ def fused_best_first(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     steps = -(-max_iterations // P)
-    meta = _pack_meta(index.nbr_ids, index.nbr_sq)
+    meta = index.meta
 
     def cond(carry):
         st, it, alive = carry
@@ -561,7 +565,7 @@ def fused_best_first_compacted(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     steps = -(-max_iterations // P)
-    meta = _pack_meta(index.nbr_ids, index.nbr_sq)
+    meta = index.meta
     return _best_first_phases(
         state, q_vecs, q_sq, index, meta, measure,
         steps=steps, k_best=k_best, P=P, cap=cap, use_pallas=use_pallas,
@@ -720,7 +724,7 @@ def _fused_query_tile(
     state = beam_insert(state, seed_ids, seed_d, criteria=no_crit)
 
     steps = -(-max_iterations // P)
-    meta = _pack_meta(index.nbr_ids, index.nbr_sq)
+    meta = index.meta
 
     # converged-row compaction (see _best_first_phases): results are
     # bit-identical to the single-phase sweep, stragglers step in smaller
