@@ -671,6 +671,7 @@ class GGNN:
         "seed_approx": (("fused",), True),
         "width": (("fused",), None),
         "use_pallas": (("fused",), None),
+        "sort_bf16": (("fused",), False),
     }
 
     def query(

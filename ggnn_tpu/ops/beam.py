@@ -87,13 +87,20 @@ class BeamState(NamedTuple):
 
 
 def beam_init(
-    batch: int, width: int, xi: jax.Array, vis_size: int = 0
+    batch: int, width: int, xi: jax.Array, vis_size: int = 0,
+    dist_dtype=jnp.float32,
 ) -> BeamState:
     """Empty beam of the given width and visited-ring size; ``xi``: [B] or
-    scalar slack."""
+    scalar slack.
+
+    ``dist_dtype=bfloat16`` halves the key bytes of every sorted merge in
+    the walk (the beam's distances only order the frontier and gate the
+    criterion -- final distances come from the exact f32 re-rank). The
+    construction merge keeps f32: build output must stay bit-deterministic.
+    """
     xi = jnp.broadcast_to(jnp.asarray(xi, jnp.float32), (batch,))
     return BeamState(
-        d=jnp.full((batch, width), EMPTY_DIST, jnp.float32),
+        d=jnp.full((batch, width), EMPTY_DIST, dist_dtype),
         i=jnp.full((batch, width), EMPTY_ID, jnp.int32),
         exp=jnp.zeros((batch, width), bool),
         vis=jnp.full((batch, max(vis_size, 1)), EMPTY_ID, jnp.int32),
@@ -168,7 +175,7 @@ def beam_insert(
     column W fall off -- exactly the reference's finite sorted cache.
     """
     ok = (cand_i != EMPTY_ID) & (cand_d < criteria[:, None])
-    cand_d = jnp.where(ok, cand_d, EMPTY_DIST)
+    cand_d = jnp.where(ok, cand_d, EMPTY_DIST).astype(state.d.dtype)
     cand_i = jnp.where(ok, cand_i, EMPTY_ID)
 
     # pack (id, exp) into one i32 payload so the merge sort moves two

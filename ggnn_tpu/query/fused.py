@@ -480,6 +480,8 @@ def _fused_step(st, q_vecs, q_sq, index, meta, measure, *, k_best, P, cap,
     crit = st.criteria(k_best)
     d = jnp.where((ids != EMPTY_ID) & (d < crit[:, None]), d, EMPTY_DIST)
     ids = jnp.where(jnp.isfinite(d), ids, EMPTY_ID)
+    # a bf16 beam sorts bf16 candidate keys end-to-end (see beam_init)
+    d = d.astype(st.d.dtype)
     if cap < d.shape[1]:
         # a full 2-op sort: lax.top_k(384->cap) + the id gather measured
         # 68.7k vs 97.7k QPS in-process at the 262k headline point, and a
@@ -667,7 +669,7 @@ def _best_first_phases(
     static_argnames=(
         "width", "vis_size", "k_query", "measure", "max_iterations",
         "pops_per_iter", "num_seeds", "rerank", "cap", "use_pallas",
-        "compact_levels", "seed_approx",
+        "compact_levels", "seed_approx", "sort_bf16",
     ),
 )
 def _fused_query_tile(
@@ -689,6 +691,7 @@ def _fused_query_tile(
     use_pallas: bool = False,
     compact_levels: int = 0,
     seed_approx: bool = False,
+    sort_bf16: bool = False,
 ):
     B, D = q_vecs.shape
     P = pops_per_iter
@@ -705,7 +708,10 @@ def _fused_query_tile(
         xi0 = nn1[1] * tau_query
         dyn = lambda st: jnp.minimum(xi0, st.d[:, 0] * tau_query)
 
-    state = beam_init(B, width, xi0, vis_size)
+    state = beam_init(
+        B, width, xi0, vis_size,
+        dist_dtype=jnp.bfloat16 if sort_bf16 else jnp.float32,
+    )
 
     # --- seed: dense rep scan (one MXU tile), top seeds enter the beam ---
     seed_d_all = dist_block(
@@ -762,7 +768,7 @@ def _fused_query_tile(
         "chunk_plan", "shard_base", "pack_results",
         "width", "vis_size", "k_query", "measure", "max_iterations",
         "pops_per_iter", "num_seeds", "rerank", "cap", "use_pallas",
-        "compact_levels", "seed_approx",
+        "compact_levels", "seed_approx", "sort_bf16",
     ),
 )
 def _fused_query_chunks(
@@ -830,6 +836,7 @@ def fused_query(
     pack_results: bool = False,
     compact_levels: int = 2,
     seed_approx: bool = False,
+    sort_bf16: bool = False,
     width: int | None = None,
 ):
     """Query one shard through its quantized-adjacency index.
@@ -897,6 +904,7 @@ def fused_query(
         max_iterations=max_iterations, pops_per_iter=max(1, pops_per_iter),
         num_seeds=num_seeds, rerank=rerank, cap=cap, use_pallas=use_pallas,
         compact_levels=max(0, compact_levels), seed_approx=seed_approx,
+        sort_bf16=sort_bf16,
     )
 
 

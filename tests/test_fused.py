@@ -332,3 +332,26 @@ def test_seed_approx_recall_close(built):
     r0 = (np.asarray(ids0)[:, :1] == gt[:, :1]).mean()
     r1 = (np.asarray(ids1)[:, :1] == gt[:, :1]).mean()
     assert r1 >= r0 - 0.03, (r0, r1)
+
+
+def test_sort_bf16_recall_close(built):
+    """bf16 beam keys only coarsen frontier ORDER (final distances come
+    from the exact f32 re-rank): recall must stay at the f32-beam level
+    and returned distances must be exact either way."""
+    base, query, cfg, graph, index = built
+    q = jnp.asarray(query)
+    base_j = jnp.asarray(base)
+    gt, _ = bruteforce_knn(base_j, q, 10)
+    ids0, d0 = fused_query(q, index, base_j, 10, 0.6, 64)
+    ids1, d1 = fused_query(q, index, base_j, 10, 0.6, 64, sort_bf16=True)
+    gt = np.asarray(gt)
+    r0 = (np.asarray(ids0)[:, :1] == gt[:, :1]).mean()
+    r1 = (np.asarray(ids1)[:, :1] == gt[:, :1]).mean()
+    assert r1 >= r0 - 0.03, (r0, r1)
+    d1 = np.asarray(d1)
+    assert d1.dtype == np.float32  # re-rank output stays exact f32
+    ids1 = np.asarray(ids1)
+    for j in range(3):
+        if ids1[0, j] >= 0:
+            exact = float(np.sum((query[0] - base[ids1[0, j]]) ** 2))
+            assert abs(exact - d1[0, j]) < 1e-2 * max(1.0, exact)
