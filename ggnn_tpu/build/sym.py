@@ -411,22 +411,37 @@ def _bulk_requests(
     return sym_buffer, sym_atomic, accept
 
 
-@functools.partial(jax.jit, static_argnames=("KL",))
-def _rows_needing_walk(nbrs, *, KL: int):
+@functools.partial(jax.jit, static_argnames=("KL", "chunk"))
+def _rows_needing_walk(nbrs, *, KL: int, chunk: int = 65536):
     """Which (node, local-neighbor) pairs need a walk at all.
 
     A pair is trivially symmetric when the neighbor already links back --
     mutual-kNN pairs, the common case, which the reference's walk detects on
     its very first fetch (sym_query_layer.cu:87-97). Filtering them up front
     lets the expensive walk scan run over a compacted row list (typically
-    half the rows or fewer)."""
+    half the rows or fewer).
+
+    Row-chunked: the back-link gather materializes [rows, KL, lanes(K)] i32,
+    which at 1M/KBuild=48 is ~24 GB unchunked -- it OOM'd the whole 1M k=48
+    build (the k=24 incarnation squeaked by). 64k-row chunks cap the
+    transient at ~1.6 GB with shape-stable programs per layer."""
     Nl, K = nbrs.shape
-    starts = nbrs[:, :KL]  # [Nl, KL]
-    # lane-aligned row gather (see _pad_rows_to_lanes)
-    back = _pad_rows_to_lanes(nbrs, K)[jnp.clip(starts, 0, None)]
-    node = jnp.arange(Nl, dtype=jnp.int32)[:, None]
-    direct = jnp.any(back == node[:, :, None], axis=-1)
-    return (starts != -1) & (starts != node) & ~direct
+    padded = _pad_rows_to_lanes(nbrs, K)  # lane-aligned row gather source
+    C = min(chunk, max(1024, 1 << (Nl - 1).bit_length()))
+    outs = []
+    for lo in range(0, Nl, C):
+        starts = nbrs[lo : lo + C, :KL]  # [C, KL]
+        rows = starts.shape[0]
+        if rows < C:  # tail: pad with EMPTY rows (filtered by != -1 below)
+            starts = jnp.pad(
+                starts, ((0, C - rows), (0, 0)), constant_values=-1
+            )
+        back = padded[jnp.clip(starts, 0, None)]
+        node = (lo + jnp.arange(C, dtype=jnp.int32))[:, None]
+        direct = jnp.any(back == node[:, :, None], axis=-1)
+        outs.append((starts != -1) & (starts != node) & ~direct)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out[:Nl]
 
 
 @functools.partial(

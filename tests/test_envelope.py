@@ -246,3 +246,20 @@ def test_kbuild_above_bound_rejected(data):
     g.set_base(base)
     with pytest.raises(ValueError):
         g.build(k_build=513, tau_build=0.5)
+
+
+def test_rows_needing_walk_chunked_matches_unchunked(data):
+    """The mutual-link pre-filter is row-chunked (unchunked it gathers
+    [N, KL, lanes] i32 -- ~24 GB at 1M/k=48, which OOM'd the 1M build).
+    Multi-chunk + padded tail must reproduce the single-chunk result."""
+    from ggnn_tpu.build.sym import _rows_needing_walk
+
+    base, _ = data
+    g = GGNN()
+    g.set_base(base)
+    g.build(k_build=24, tau_build=0.5, refinement_iterations=0)
+    nbrs = g._shards[0].graph.neighbors[0]
+    one = np.asarray(_rows_needing_walk(nbrs, KL=24, chunk=1 << 20))
+    many = np.asarray(_rows_needing_walk(nbrs, KL=24, chunk=512))  # tail=N%512
+    np.testing.assert_array_equal(one, many)
+    assert one.shape == (N, 24)
