@@ -49,7 +49,9 @@ BASELINE_QPS = 500_000.0
 # number recorded before the shape-stable sym + quantized-descent landed).
 # A version mismatch forces a fresh build so the reported build_s always
 # reflects the current code.
-BUILD_PATH_VERSION = 4  # 4 = dense-seed merges (build/merge.py dense_seed)
+BUILD_PATH_VERSION = 5  # 5 = dense-seed own-id dedup + real-rows-only sym
+#     filter (build/merge.py seed dup mask, build/sym.py chunk ladders);
+#     4 = dense-seed merges (build/merge.py dense_seed)
 DATASET_SEED = 0
 
 

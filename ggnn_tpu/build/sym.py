@@ -568,28 +568,27 @@ def sym_pass(
 
     if mode in ("hybrid", "bulk") and len(rows):
         # phase ii: chunked first-expansion filter, then one bulk proposal.
-        # The row list is padded to a power of two so every pass whose row
-        # count lands in the same pow2 bucket reuses the SAME program
-        # shapes: each distinct shape costs a 30-250 s remote compile while
-        # the steady-state compute is <1.5 s (measured at 262k: per-pass
-        # sym[0] 50-107 s with churning shapes, ~3 s warm), and the filter
-        # chunk ladder keeps small layers off full-width programs.
-        # power-of-FOUR buckets: pow2 buckets still produced 3-4 distinct
-        # _bulk_requests shapes across a 1M build's passes (each a 30-100 s
-        # remote compile, measured: sym[0] passes 83/74/26/60/13/13 s where
-        # the warm floor is ~13 s); padding is ignored by the scatter, so a
-        # coarser ladder trades <=3x padded elementwise work (~1-3 s warm)
-        # for half the one-time compiles
-        R_pad = max(4096, 1 << (len(rows) - 1).bit_length())
-        if R_pad.bit_length() % 2 == 0:  # odd power of two -> next pow4
-            R_pad <<= 1
-        C = min(1 << 16, R_pad)
-        num_f_chunks = R_pad // C
+        # Two decoupled shape disciplines (every distinct jit shape costs a
+        # 30-250 s remote compile on the relay):
+        #   * the FILTER runs fixed-[C] chunk programs over the REAL rows
+        #     only -- the chunk program shape never churns, and no compute
+        #     is spent on ladder padding (the former single pow4 ladder ran
+        #     up to 3.3x pure-padding filter chunks at 1M);
+        #   * the REQUEST program's row count comes from a pow2 ladder on
+        #     the CHUNK COUNT (constant parts fill the gap), bounding its
+        #     compile variants while capping pad waste at 2x. The former
+        #     pow4 ladder padded 20M walk-rows to 67M: its [R, KF] i32
+        #     preference table plus the priority-order gather copy alone
+        #     were ~13 GB -- the 1M k=48 sym pass OOM'd HBM outright.
+        C = min(1 << 16, max(4096, 1 << (len(rows) - 1).bit_length()))
+        real_chunks = -(-len(rows) // C)
+        num_chunks = 1 << (real_chunks - 1).bit_length()  # pow2 ladder
+        R_pad = num_chunks * C
         rows_pad = np.full((R_pad,), -1, np.int32)
         rows_pad[: len(rows)] = rows
         nbrs_wide = _pad_rows_to_lanes(nbrs, KL)
         conn_parts, dq0_parts, n_parts, pref_parts = [], [], [], []
-        for c in range(num_f_chunks):
+        for c in range(real_chunks):
             conn, dq0, n_ids, _s_ids, pref = _bulk_filter_chunk(
                 jnp.asarray(rows_pad[c * C : (c + 1) * C]),
                 nbrs,
@@ -610,6 +609,13 @@ def sym_pass(
             pref_parts.append(pref)
             if (c + 1) % 4 == 0:
                 hard_sync(conn)
+        if num_chunks > real_chunks:
+            # ladder padding enters as constants -- never filtered
+            pad_n = (num_chunks - real_chunks) * C
+            conn_parts.append(jnp.ones((pad_n,), bool))
+            dq0_parts.append(jnp.full((pad_n,), jnp.inf, jnp.float32))
+            n_parts.append(jnp.full((pad_n,), -1, jnp.int32))
+            pref_parts.append(jnp.full((pad_n, KF), -1, jnp.int32))
         connected = jnp.concatenate(conn_parts)
         sym_buffer, sym_atomic, accept = _bulk_requests(
             jnp.concatenate(pref_parts),
