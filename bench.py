@@ -49,8 +49,9 @@ BASELINE_QPS = 500_000.0
 # number recorded before the shape-stable sym + quantized-descent landed).
 # A version mismatch forces a fresh build so the reported build_s always
 # reflects the current code.
-BUILD_PATH_VERSION = 5  # 5 = dense-seed own-id dedup + real-rows-only sym
-#     filter (build/merge.py seed dup mask, build/sym.py chunk ladders);
+BUILD_PATH_VERSION = 6  # 6 = start-grouped sym phase-ii filter
+#     (build/sym.py _bulk_filter_grouped: one expansion gather per start);
+#     5 = dense-seed own-id dedup + real-rows-only sym filter;
 #     4 = dense-seed merges (build/merge.py dense_seed)
 DATASET_SEED = 0
 

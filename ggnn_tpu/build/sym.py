@@ -372,6 +372,170 @@ def _bulk_filter_chunk(
     return connected | row_pad, dq0, n, s, pref[:, :KF]
 
 
+@functools.partial(jax.jit, static_argnames=("KL", "R_cap", "G_pad"))
+def _group_pending_rows(need, nbrs, *, KL: int, R_cap: int, G_pad: int):
+    """Group pending (node, neighbor) pairs by their START node s.
+
+    Each pending pair (n, s) needs s's first expansion -- its KL neighbor
+    ids, their vectors and their back-links -- but s starts ~KL/2 pairs on
+    average, so the per-pair filter re-gathers the same expansion once per
+    pair. Grouping by s amortizes those gathers R_cap-fold. The grouping
+    runs entirely on device (one stable sort over the flat pair ids); a
+    host-side grouping would need the s values D2H'd over the relay
+    (~12 MB/pass at 262k, seconds at measured 2-20 MB/s bulk rates).
+
+    A start with more than R_cap pending requesters spans several
+    consecutive group rows (rank // R_cap "rounds"), so every pair lands in
+    exactly one grid slot and no per-pair fallback path is needed.
+
+    Returns (grid [G_pad, R_cap] flat pair ids (-1 = empty),
+    group_s [G_pad] start id per group row (-1 = empty), n_groups scalar).
+    """
+    Nl = nbrs.shape[0]
+    M = Nl * KL
+    pos = jnp.arange(M, dtype=jnp.int32)
+    s_flat = nbrs[:, :KL].reshape(-1)
+    valid = need.reshape(-1) & (s_flat >= 0)
+    key = jnp.where(valid, s_flat, jnp.int32(Nl))  # invalids sort last
+    order = jnp.argsort(key, stable=True)
+    ks = key[order]
+    rs = pos[order]
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ks[:-1]])
+    is_new = ks != prev
+    run_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
+    rank = pos - run_start  # rank of the pair within its s-run
+    vs = ks != Nl
+    is_start = vs & (is_new | (rank % R_cap == 0))
+    gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    n_groups = jnp.sum(is_start.astype(jnp.int32))
+    tgt = jnp.where(vs, gid, jnp.int32(G_pad))  # OOB rows drop
+    grid = (
+        jnp.full((G_pad, R_cap), -1, jnp.int32)
+        .at[tgt, rank % R_cap]
+        .set(rs, mode="drop")
+    )
+    group_s = (
+        jnp.full((G_pad,), -1, jnp.int32)
+        .at[jnp.where(is_start, gid, jnp.int32(G_pad))]
+        .set(ks, mode="drop")
+    )
+    return grid, group_s, n_groups
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "measure", "use_translation", "pref_gate")
+)
+def _bulk_filter_grouped(
+    group_s,  # [C] start node ids (-1 = pad)
+    grid_rows,  # [C, R] flat pair indices into [Nl*KL], -1 = pad
+    nbrs_wide,  # [Nl, 128] lane-padded local slots
+    translation_l,
+    base,
+    base_sq,
+    nn1_stats,
+    tau_build,
+    *,
+    cfg: GraphConfig,
+    measure: DistanceMeasure,
+    use_translation: bool,
+    pref_gate: bool = True,
+):
+    """Start-grouped first-expansion connectivity filter.
+
+    Same decision per pair as ``_bulk_filter_chunk`` (admission against both
+    the query and half-point criteria, simple_knn_sym_cache.cuh:423-436;
+    back-link detection, sym_query_layer.cu:87-122) but evaluated for all of
+    a start's requesters against ONE gather of the start's expansion: the
+    [KL, D] neighbor vectors and [KL, lanes] back-link rows move HBM->VMEM
+    once per group instead of once per pair (~8x fewer fetched bytes at the
+    layer-0 fill measured at 262k).
+
+    Returns (connected, dq0, n, pref) with a leading [C, R] pair grid.
+    """
+    KL, KF = cfg.KL, cfg.KF
+    C, R = grid_rows.shape
+    pad = (grid_rows == -1) | (group_s[:, None] == -1)
+    rows_safe = jnp.clip(grid_rows, 0, None)
+    n = rows_safe // KL  # [C, R] requesters
+    s = jnp.where(group_s == -1, 0, group_s)  # [C]
+
+    if measure == DistanceMeasure.Euclidean:
+        xi = (nn1_stats[0] * nn1_stats[0]) * tau_build * tau_build
+    else:
+        xi = nn1_stats[0] * tau_build
+
+    def tr(ids):
+        return translation_l[ids] if use_translation else ids
+
+    s_vec = base[tr(s)].astype(jnp.float32)  # [C, D]
+    s_sq = base_sq[tr(s)]  # [C]
+    q = base[tr(n)].astype(jnp.float32)  # [C, R, D]
+    q_sq = jnp.sum(q * q, axis=-1)  # [C, R]
+    h = q + (0.5 - _HALF_EPS) * (s_vec[:, None, :] - q)  # [C, R, D]
+    h_sq = jnp.sum(h * h, axis=-1)
+
+    # shared expansion of s: one gather per GROUP, not per pair
+    t = nbrs_wide[s][:, :KL]  # [C, KL]
+    t_safe = jnp.clip(t, 0, None)
+    t_vecs = base[tr(t_safe)].astype(jnp.float32)  # [C, KL, D]
+    t_sq = base_sq[tr(t_safe)]  # [C, KL]
+    back = nbrs_wide[t_safe]  # [C, KL, lanes]
+
+    def dists(x, x_sq, y, y_sq, dot):
+        # x: [C, R(, D)] vs y: [C, K(, D)] -> [C, R, K]
+        if measure == DistanceMeasure.Euclidean:
+            return jnp.maximum(x_sq[..., None] + y_sq[:, None, :] - 2.0 * dot, 0.0)
+        nn = x_sq[..., None] * y_sq[:, None, :]
+        ok = nn > 0.0
+        return jnp.where(
+            ok, jnp.abs(1.0 - dot * jax.lax.rsqrt(jnp.where(ok, nn, 1.0))), 1.0
+        )
+
+    ein = functools.partial(
+        jnp.einsum,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    def dists1(x, x_sq, dot):
+        # x: [C, R] vs the group's own s: [C] -> [C, R]
+        if measure == DistanceMeasure.Euclidean:
+            return jnp.maximum(x_sq + s_sq[:, None] - 2.0 * dot, 0.0)
+        nn = x_sq * s_sq[:, None]
+        ok = nn > 0.0
+        return jnp.where(
+            ok, jnp.abs(1.0 - dot * jax.lax.rsqrt(jnp.where(ok, nn, 1.0))), 1.0
+        )
+
+    # n <-> s admission criteria per pair
+    dq0 = dists1(q, q_sq, ein("crd,cd->cr", q, s_vec))
+    dh0 = dists1(h, h_sq, ein("crd,cd->cr", h, s_vec))
+    crit_q = dq0 + xi
+    crit_h = dh0 + xi
+
+    dq_t = dists(q, q_sq, t_vecs, t_sq, ein("crd,ckd->crk", q, t_vecs))
+    dh_t = dists(h, h_sq, t_vecs, t_sq, ein("crd,ckd->crk", h, t_vecs))
+    t_ok = (t[:, None, :] != -1) & (t[:, None, :] != n[:, :, None])  # [C, R, KL]
+    admitted = t_ok & (dh_t < crit_h[..., None]) & (dq_t < crit_q[..., None])
+    links_back = jnp.any(
+        back[:, None, :, :] == n[:, :, None, None], axis=-1
+    )  # [C, R, KL]
+    connected = jnp.any(links_back & admitted, axis=-1) | pad
+
+    host_ok = admitted if pref_gate else t_ok
+    cand = jnp.concatenate(
+        [jnp.broadcast_to(s[:, None, None], (C, R, 1)), jnp.broadcast_to(t[:, None, :], (C, R, KL))],
+        axis=-1,
+    )  # [C, R, 1+KL]
+    cand_d = jnp.concatenate([dq0[..., None], dq_t], axis=-1)
+    cand_ok = jnp.concatenate([~pad[..., None], host_ok], axis=-1)
+    cand_d = jnp.where(cand_ok, cand_d, jnp.inf)
+    cand = jnp.where(cand_ok, cand, -1)
+    cand_d, pref = jax.lax.sort((cand_d, cand), dimension=-1, num_keys=1)
+    n_out = jnp.where(pad, -1, n)
+    return connected, jnp.where(pad, jnp.inf, dq0), n_out, pref[..., :KF]
+
+
 @functools.partial(jax.jit, static_argnames=("KF",), donate_argnums=(3, 4))
 def _bulk_requests(
     pref,  # [M, KF] per-row host preference lists (-1 = empty)
@@ -509,6 +673,153 @@ def _sym_scan_block(
     return sym_buffer, sym_atomic
 
 
+@jax.jit
+def _grouped_counts(real, connected, accept):
+    """Phase-ii stats as one scalar-triple D2H (the pair path pulls the full
+    per-row masks host-side; at 262k those are ~4 MB of bools per pass over
+    a 2-20 MB/s relay)."""
+    return jnp.stack(
+        [
+            jnp.sum((real & connected).astype(jnp.int32)),
+            jnp.sum((real & accept).astype(jnp.int32)),
+            jnp.sum((real & ~connected & ~accept).astype(jnp.int32)),
+        ]
+    )
+
+
+def _phase_ii_grouped(
+    need_dev,
+    nbrs,
+    trans,
+    base,
+    base_sq,
+    nn1_stats,
+    tau,
+    sym_buffer,
+    sym_atomic,
+    *,
+    cfg: GraphConfig,
+    measure: DistanceMeasure,
+    use_translation: bool,
+    pref_gate: bool,
+    want_residual_rows: bool,
+):
+    """Phase ii with the start-grouped filter layout.
+
+    Orchestrates ``_group_pending_rows`` -> chunked ``_bulk_filter_grouped``
+    -> one ``_bulk_requests``. Chunks are fixed-shape ([Cs] groups x [R_cap]
+    requesters = 65,536 pair slots -- the same 64k granularity as the pair
+    path, so the request program's pow2 chunk ladder shares its compiled
+    variants). Returns (sym_buffer, sym_atomic, residual_rows, stats).
+    """
+    import numpy as np  # noqa: PLC0415 -- host chunk loop only
+    import os  # noqa: PLC0415
+    import time  # noqa: PLC0415
+
+    # GGNN_SYM_TIMING=1: hard-sync fenced sub-phase attribution (perturbs
+    # perf -- the fences serialize work the chunk loop otherwise overlaps)
+    timing = os.environ.get("GGNN_SYM_TIMING") == "1"
+
+    def _mark(x=None):
+        if timing:
+            if x is not None:
+                hard_sync(x)
+            return time.perf_counter()
+        return 0.0
+
+    KL, KF = cfg.KL, cfg.KF
+    Nl = nbrs.shape[0]
+    R_cap = 16
+    Cs = 4096
+    # every start needs at least one group row; starts with > R_cap pending
+    # requesters spill into ceil(cnt/R_cap) rows total
+    g_bound = Nl + -(-Nl * KL // R_cap)
+    G_pad = -(-g_bound // Cs) * Cs
+    t0 = _mark()
+    grid, group_s, n_groups = _group_pending_rows(
+        need_dev, nbrs, KL=KL, R_cap=R_cap, G_pad=G_pad
+    )
+    ng = int(n_groups)
+    t1 = _mark()
+    empty_stats = {"bulk_connected": 0, "bulk_accepted": 0, "residual": 0}
+    if ng == 0:
+        return sym_buffer, sym_atomic, np.zeros((0,), np.int32), empty_stats
+    used = -(-ng // Cs)
+    nbrs_wide = _pad_rows_to_lanes(nbrs, KL)
+    conn_parts, dq0_parts, n_parts, pref_parts, row_parts = [], [], [], [], []
+    for c in range(used):
+        lo = c * Cs
+        conn, dq0c, n_ids, pref = _bulk_filter_grouped(
+            group_s[lo : lo + Cs],
+            grid[lo : lo + Cs],
+            nbrs_wide,
+            trans,
+            base,
+            base_sq,
+            nn1_stats,
+            tau,
+            cfg=cfg,
+            measure=measure,
+            use_translation=use_translation,
+            pref_gate=pref_gate,
+        )
+        conn_parts.append(conn.reshape(-1))
+        dq0_parts.append(dq0c.reshape(-1))
+        n_parts.append(n_ids.reshape(-1))
+        pref_parts.append(pref.reshape(-1, KF))
+        row_parts.append(grid[lo : lo + Cs].reshape(-1))
+        if (c + 1) % 4 == 0:
+            hard_sync(conn)
+    t2 = _mark(conn_parts[-1])
+    # pow2 ladder on the chunk count bounds the request-program variants
+    # while capping pad waste at 2x; padding enters as constants
+    num_chunks = 1 << (used - 1).bit_length()
+    if num_chunks > used:
+        pad_n = (num_chunks - used) * Cs * R_cap
+        conn_parts.append(jnp.ones((pad_n,), bool))
+        dq0_parts.append(jnp.full((pad_n,), jnp.inf, jnp.float32))
+        n_parts.append(jnp.full((pad_n,), -1, jnp.int32))
+        pref_parts.append(jnp.full((pad_n, KF), -1, jnp.int32))
+        row_parts.append(jnp.full((pad_n,), -1, jnp.int32))
+    connected = jnp.concatenate(conn_parts)
+    n_flat = jnp.concatenate(n_parts)
+    M = int(connected.shape[0])
+    sym_buffer, sym_atomic, accept = _bulk_requests(
+        jnp.concatenate(pref_parts),
+        n_flat,
+        jnp.concatenate(dq0_parts),
+        sym_buffer,
+        sym_atomic,
+        connected,
+        M,  # pads are interleaved; they are masked by connected=True instead
+        KF=KF,
+    )
+    t3 = _mark(sym_atomic)
+    real = n_flat != -1
+    counts = np.asarray(_grouped_counts(real, connected, accept))
+    stats = {
+        "bulk_connected": int(counts[0]),
+        "bulk_accepted": int(counts[1]),
+        "residual": int(counts[2]),
+    }
+    if timing:
+        t4 = time.perf_counter()
+        print(
+            f"# sym-ii[{Nl}] groups={ng} chunks={used} | "
+            f"group {t1 - t0:.2f} s | filter {t2 - t1:.2f} s | "
+            f"requests {t3 - t2:.2f} s | stats-d2h {t4 - t3:.2f} s",
+            flush=True,
+        )
+    rows = np.zeros((0,), np.int32)
+    if want_residual_rows and stats["residual"]:
+        # hybrid only: pull the residual pair ids host-side for phase iii
+        # (an [M] i32 D2H -- the bulk default never pays it)
+        resid = real & ~connected & ~accept
+        rows_flat = np.asarray(jnp.where(resid, jnp.concatenate(row_parts), -1))
+        rows = rows_flat[rows_flat >= 0].astype(np.int32)
+    return sym_buffer, sym_atomic, rows, stats
+
+
 def sym_pass(
     base: jax.Array,
     base_sq: jax.Array,
@@ -523,6 +834,7 @@ def sym_pass(
     pops_per_iter: int = 4,
     mode: str = "bulk",
     pref_gate: bool = True,
+    sym_filter: str | None = None,
 ):
     """Run the full sym pass on one layer.
 
@@ -545,19 +857,33 @@ def sym_pass(
     "hybrid" at 65k and substantially faster. ``mode="walk"`` runs the
     round-1 behavior: a walk per unconnected pair.
 
+    ``sym_filter``: "grouped" (default) evaluates phase ii with pairs
+    grouped by their start node so each start's expansion is gathered once
+    (``_bulk_filter_grouped``); "pairs" is the one-row-per-pair layout.
+    Both make the same admission decisions; the grouped layout visits the
+    request queue in (start, rank) order rather than pair order, so slot
+    assignment can differ on exact distance ties.
+
     Returns (new_nbrs, stats dict with overflow/added-links counters matching
     graph_construction.cu:354-378).
     """
     import numpy as np  # noqa: PLC0415 -- host-side row compaction only
+    import os  # noqa: PLC0415
+
+    if sym_filter is None:
+        sym_filter = os.environ.get("GGNN_SYM_FILTER", "grouped")
 
     Nl = cfg.Ns[layer]
     KL, KF = cfg.KL, cfg.KF
     use_translation = layer > 0
     trans = translation_l if use_translation else jnp.zeros((0,), jnp.int32)
 
-    # phase i: mutual pre-filter + compact the rows (one small D2H per pass)
-    need = np.asarray(_rows_needing_walk(nbrs, KL=KL)).reshape(-1)
-    rows = np.nonzero(need)[0].astype(np.int32)
+    # phase i: mutual pre-filter (stays on device in grouped mode)
+    need_dev = _rows_needing_walk(nbrs, KL=KL)
+    rows = np.zeros((0,), np.int32)
+    if mode == "walk" or sym_filter != "grouped":
+        need = np.asarray(need_dev).reshape(-1)
+        rows = np.nonzero(need)[0].astype(np.int32)
 
     sym_buffer = jnp.full((Nl, KF), -1, jnp.int32)
     sym_atomic = jnp.zeros((Nl,), jnp.int32)
@@ -566,7 +892,29 @@ def sym_pass(
     bulk_accepted = 0
     walk_residual = 0
 
-    if mode in ("hybrid", "bulk") and len(rows):
+    if mode in ("hybrid", "bulk") and sym_filter == "grouped":
+        sym_buffer, sym_atomic, rows, stats_ii = _phase_ii_grouped(
+            need_dev,
+            nbrs,
+            trans,
+            base,
+            base_sq,
+            nn1_stats,
+            tau,
+            sym_buffer,
+            sym_atomic,
+            cfg=cfg,
+            measure=DistanceMeasure(measure),
+            use_translation=use_translation,
+            pref_gate=pref_gate,
+            want_residual_rows=(mode == "hybrid"),
+        )
+        bulk_connected = stats_ii["bulk_connected"]
+        bulk_accepted = stats_ii["bulk_accepted"]
+        if mode == "bulk":
+            walk_residual = stats_ii["residual"]
+            rows = rows[:0]
+    elif mode in ("hybrid", "bulk") and len(rows):
         # phase ii: chunked first-expansion filter, then one bulk proposal.
         # Two decoupled shape disciplines (every distinct jit shape costs a
         # 30-250 s remote compile on the relay):

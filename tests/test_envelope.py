@@ -156,6 +156,26 @@ def test_sym_pass_modes_invariants(sym_inputs, mode):
         assert stats["walk_rows"] == 0
 
 
+@pytest.mark.parametrize("mode", ["bulk", "hybrid"])
+def test_sym_grouped_filter_matches_pairs(sym_inputs, mode):
+    """The start-grouped phase-ii filter (one expansion gather per start,
+    _bulk_filter_grouped) must make the same admission decisions as the
+    one-row-per-pair layout and produce the same graph. Ties in the
+    capacity scatter could reorder slots in principle; on this data the
+    result is bit-identical, which is the stronger property we keep."""
+    b, bsq, nbrs, nn1_stats, cfg = sym_inputs
+    out = {}
+    for f in ("grouped", "pairs"):
+        new_nbrs, stats = sym_pass(
+            b, bsq, nbrs, None, nn1_stats, cfg, 0, DistanceMeasure.Euclidean,
+            tau_build=0.5, mode=mode, sym_filter=f,
+        )
+        out[f] = (np.asarray(new_nbrs), stats)
+    np.testing.assert_array_equal(out["grouped"][0], out["pairs"][0])
+    for key in ("bulk_connected", "bulk_accepted", "added_links", "overflow"):
+        assert out["grouped"][1][key] == out["pairs"][1][key], key
+
+
 def test_sym_walk_deterministic(sym_inputs):
     b, bsq, nbrs, nn1_stats, cfg = sym_inputs
     out = [
