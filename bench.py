@@ -284,6 +284,7 @@ def main():
     # scratch/bigbatch_262k.py -- 325k vs 266k QPS at c@1>=0.91, 262k).
     sweep = [
         (0.64, 15, 5), (0.64, 20, 5),
+        (0.64, 20, 4), (0.8, 20, 4), (0.8, 24, 4),
         (0.64, 24, 4), (0.64, 25, 5), (0.64, 24, 8),
         (0.64, 30, 5), (0.64, 32, 8),
         (0.64, 35, 5), (0.51, 35, 5),
