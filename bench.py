@@ -16,8 +16,13 @@ Baseline assumption: the reference paper (arXiv 1912.01059) reports roughly
 GPU; the in-repo reference publishes recall anchors only (BASELINE.json
 "published": {}), so 500k QPS is used as the GPU-parity denominator.
 
-Environment knobs: GGNN_BENCH_N (base size, default 262144),
-GGNN_BENCH_NQ (queries, default 10000), GGNN_BENCH_FULL=1 (N=1M),
+The headline N is 1,000,000 -- the SAME dataset size as the baseline's
+SIFT1M figure (VERDICT r4 weak #1: a 262k QPS over a 1M denominator
+overstated parity ~1.5x). Smaller-N results recorded by earlier runs are
+surfaced in the detail as secondaries, never as the headline.
+
+Environment knobs: GGNN_BENCH_N (base size, default 1,000,000),
+GGNN_BENCH_NQ (queries, default 50000),
 GGNN_BENCH_CACHE=<dir> (store the built graph there / reload it on rerun --
 lets hour-long large-N runs survive TPU-relay crashes; the reported build
 time on a cache hit is the one recorded at store time).
@@ -129,9 +134,9 @@ def _run_config(g, evaluator, query_dev, nq, k_query, tau_query, iters, qkw,
 
 
 def main():
-    n = int(os.environ.get("GGNN_BENCH_N", 262_144))
+    n = int(os.environ.get("GGNN_BENCH_N", 1_000_000))
     if os.environ.get("GGNN_BENCH_FULL"):
-        n = 1_000_000 - 1_000_000 % 1  # full scale
+        n = 1_000_000  # kept for compatibility (now the default)
     # 50k queries per dispatched program: the per-dispatch relay floor
     # (~2.6 ms) and the padded tail chunk are pure overhead at 10k batches
     # (+20-25% QPS at 50k, scratch/bigbatch_262k.py). Distinct queries with
@@ -275,20 +280,21 @@ def main():
     # rerank=16 (vs the default 32) and approx_min_k seeding measured
     # recall-identical at k_query=10 and +25% QPS together (scratch/
     # fixed_cost_ab2.py: 144.0k vs 114.9k at the 262k headline point)
+    # width=32 / cap=32 measured bit-identical recall and ~3% faster than
+    # the width=64/cap=64 defaults at the 262k headline point (r5 knob
+    # grid: every one of cap48/cap32/w32/w32cap32 returned c@1=0.9163)
     qkw = {"engine": "fused", "num_seeds": 16,
-           "rerank": max(16, k_query + 6)}
+           "rerank": max(16, k_query + 6), "width": 32, "cap": 32}
     # (tau, pop budget, pops_per_iter), cheapest-first. P=5 merges the beam
     # after every 5 pops: at equal budget that buys ~2.5 recall points over
     # P=8 (more merge points -> better-informed pops) while the extra sorts
     # hide under the DMA-descriptor-bound fetch (scratch/step_pieces_262k.py,
     # scratch/bigbatch_262k.py -- 325k vs 266k QPS at c@1>=0.91, 262k).
     sweep = [
-        (0.64, 15, 5), (0.64, 20, 5),
-        (0.64, 20, 4), (0.8, 20, 4), (0.8, 24, 4),
-        (0.64, 24, 4), (0.64, 25, 5), (0.64, 24, 8),
-        (0.64, 30, 5), (0.64, 32, 8),
-        (0.64, 35, 5), (0.51, 35, 5),
-        (0.64, 40, 5), (0.41, 48, 8), (0.51, 48, 8), (0.64, 48, 8),
+        (0.64, 20, 4), (0.64, 24, 4),
+        (0.64, 28, 4), (0.64, 30, 5),
+        (0.64, 32, 4), (0.64, 35, 5),
+        (0.64, 40, 5), (0.64, 48, 8),
         (0.41, 64, 8), (0.51, 64, 8),
         (0.41, 100, 8), (0.51, 100, 8), (0.64, 100, 8),
         (0.41, 200, 8), (0.64, 200, 8),
@@ -320,6 +326,33 @@ def main():
     if best is None:
         best = {"tau": None, "iters": None, "qps": 0.0, "c1": 0.0, "c10": 0.0}
 
+    # persist this run's best point next to the graph cache so future runs
+    # at other N can surface it as a secondary (never as the headline)
+    if meta_path and os.path.exists(meta_path) and best.get("tau") is not None:
+        with open(meta_path) as f:
+            meta_disk = json.load(f)
+        meta_disk["last_result"] = {
+            "qps": round(best["qps"], 1), "c1": round(best["c1"], 4),
+            "tau": best["tau"], "iters": best["iters"], "P": best["P"],
+        }
+        with open(meta_path, "w") as f:
+            json.dump(meta_disk, f)
+    secondaries = {}
+    for other_n in (262_144, 1_000_000):
+        if other_n == n:
+            continue
+        other_dir = ".bench_graph_1m" if other_n == 1_000_000 else \
+            f".bench_graph_{other_n}"
+        other_meta = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), other_dir,
+            "bench_meta.json")
+        if os.path.exists(other_meta):
+            with open(other_meta) as f:
+                om = json.load(f)
+            if om.get("last_result") and om.get("build_version") == \
+                    BUILD_PATH_VERSION:
+                secondaries[f"n{other_n}"] = om["last_result"]
+
     result = {
         "metric": "qps_c1_90",
         "value": round(best["qps"], 1),
@@ -344,6 +377,9 @@ def main():
             # one-time jit compiles included (fresh process; see the warm
             # steady-state note at the build site)
             "build_cold_s": round(build_cold_s, 2) if build_cold_s else None,
+            # earlier recorded operating points at OTHER dataset sizes
+            # (same build path version), for context only
+            **({"secondary": secondaries} if secondaries else {}),
         },
     }
     if profile_dir:

@@ -197,7 +197,7 @@ class _BuildContext:
                         else None
                         for l in range(self.cfg.L)
                     )
-                    r["out"] = adjs[layer_btm].meta
+                    r["out"] = adjs[layer_btm].blocks
             else:
                 self.quantized_fetch = False  # don't re-check every pass
         with self.timer.phase(name, self.cfg.Ns[layer_btm]) as r:

@@ -175,6 +175,7 @@ class _Shard:
                 self.fused_index = assemble_fused_index(
                     self.base_dev, self.graph,
                     members=m.members, scale=m.scale, zero=m.zero,
+                    bits=int(m.bits[0]),
                 )
             else:
                 self.fused_index = jax.device_put(
@@ -464,13 +465,15 @@ class GGNN:
         }
         vlog(0, "build completed in %.3f s (wall)", wall)
 
-    def build_fused_index(self, group: int = 1) -> None:
+    def build_fused_index(self, group: int = 1, bits: int = 8) -> None:
         """Derive the quantized-adjacency query layout for every shard
-        (ggnn_tpu/query/fused.py): each point's neighbors' uint8-quantized
+        (ggnn_tpu/query/fused.py): each point's neighbors' quantized
         vectors stored inline, one contiguous fetch per expanded anchor.
         ``group=2`` pairs graph-nearest nodes so one fetch serves both
-        (fewer, larger DMAs). Enables ``query(engine="fused")`` -- the
-        fastest query path."""
+        (fewer, larger DMAs). ``bits=4`` packs int4 codes -- half the
+        block bytes and HBM (walk metric coarsens; exact re-rank
+        unchanged). Enables ``query(engine="fused")`` -- the fastest
+        query path."""
         if not self.has_graph():
             raise RuntimeError("no graph -- call build() or load() first")
         from ggnn_tpu.query.fused import (  # noqa: PLC0415
@@ -491,6 +494,7 @@ class GGNN:
                 isinstance(cached, FusedIndexMeta)
                 and graph_h is not None
                 and cached.members.shape[1] == group
+                and int(cached.bits[0]) == bits
                 and fused_index_matches_graph(cached, graph_h, self._cfg.KBuild)
             ):
                 # a loaded sidecar already carries this group matching:
@@ -500,7 +504,8 @@ class GGNN:
                 shard.ensure_fused_index()
             else:
                 shard.fused_index = build_fused_index(
-                    shard.base_dev, shard.graph, self._cfg, group=group
+                    shard.base_dev, shard.graph, self._cfg, group=group,
+                    bits=bits,
                 )
                 shard.fused_index_host = None  # stale meta (other group)
             if len(self._shards) > budget:
@@ -749,12 +754,12 @@ class GGNN:
         return ResultsFuture(fut.result)
 
     def _try_ici_query(self, query, k_query, tau_query, max_iterations,
-                       measure, kw):
-        """Route a fused multi-device query through the on-device ICI merge
-        when the layout allows: one HBM-resident shard per device. Returns
-        merged global (ids, dists) device arrays, or None to fall back to
-        the per-shard + host-merge sweep (out-of-core layouts, single
-        device, disabled switch)."""
+                       measure, kw, engine: str = "fused"):
+        """Route a multi-device query (fused or row engine) through the
+        on-device ICI merge when the layout allows: one HBM-resident shard
+        per device. Returns merged global (ids, dists) device arrays, or
+        None to fall back to the per-shard + host-merge sweep (out-of-core
+        layouts, single device, disabled switch)."""
         if not self._ici_merge or len(self._shards) < 2:
             return None
         devices = [s.device for s in self._shards]
@@ -765,15 +770,20 @@ class GGNN:
                 s.wait()
             if s.graph is None or s.base_dev is None:
                 return None  # not HBM-resident: the rotation path handles it
-            if s.ensure_fused_index() is None:
+            if engine == "fused" and s.ensure_fused_index() is None:
                 return None
         from ggnn_tpu.parallel.sharded import (  # noqa: PLC0415
-            AXIS, make_mesh, sharded_fused_query,
+            AXIS, make_mesh, sharded_fused_query, sharded_query,
         )
         from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
 
-        cache_key = tuple(
-            (s.shard_id, id(s.fused_index), id(s.base_dev)) for s in self._shards
+        cache_key = (engine,) + tuple(
+            (
+                s.shard_id,
+                id(s.fused_index if engine == "fused" else s.graph),
+                id(s.base_dev),
+            )
+            for s in self._shards
         )
         cache = self._ici_cache
         if cache is None or cache[0] != cache_key:
@@ -794,25 +804,42 @@ class GGNN:
 
             base_stack = stack(*[s.base_dev for s in self._shards])
             index_stack = jax.tree.map(
-                stack, *[s.fused_index for s in self._shards]
+                stack,
+                *[
+                    s.fused_index if engine == "fused" else s.graph
+                    for s in self._shards
+                ],
             )
             self._ici_cache = (cache_key, mesh, base_stack, index_stack)
         _, mesh, base_stack, index_stack = self._ici_cache
-        ids, dists = sharded_fused_query(
+        if engine == "fused":
+            return sharded_fused_query(
+                mesh,
+                base_stack,
+                index_stack,
+                jnp.asarray(query),
+                k_query,
+                tau_query,
+                max_iterations,
+                measure,
+                pops_per_iter=kw["pops_per_iter"],
+                num_seeds=kw["num_seeds"],
+                compact_levels=kw["compact_levels"],
+                seed_approx=kw["seed_approx"],
+            )
+        return sharded_query(
             mesh,
             base_stack,
             index_stack,
+            self._cfg,
             jnp.asarray(query),
             k_query,
             tau_query,
             max_iterations,
             measure,
             pops_per_iter=kw["pops_per_iter"],
-            num_seeds=kw["num_seeds"],
-            compact_levels=kw["compact_levels"],
-            seed_approx=kw["seed_approx"],
+            fetch_cap_fraction=kw["fetch_cap_fraction"],
         )
-        return ids, dists
 
     def _query_partials(
         self,
@@ -851,12 +878,12 @@ class GGNN:
         query = _as_array(query)
         n_shard = self._cfg.N
 
-        if engine == "fused":
-            ici = self._try_ici_query(
-                query, k_query, tau_query, max_iterations, measure, kw
-            )
-            if ici is not None:
-                return [ici]
+        ici = self._try_ici_query(
+            query, k_query, tau_query, max_iterations, measure, kw,
+            engine=engine,
+        )
+        if ici is not None:
+            return [ici]
 
         budget = max(1, self._resident_budget())
         resident = sum(1 for s in self._shards if s.resident)

@@ -82,11 +82,14 @@ class FusedIndex(NamedTuple):
     Attributes:
       nbr_ids: [NG, G*K] i32 -- the group members' neighbor ids, member-major
         (-1 = empty slot).
-      nbr_codes: [NG, G*K, D] u8 -- their quantized vectors, inline.
+      blocks: [NG, CR, D] u8 -- the fetch unit: the members' quantized
+        neighbor vectors inline (CR = G*K rows, or G*K/2 with int4 codes
+        packed two per byte -- see ``bits``). (Folding the meta row into
+        this block was measured net-negative: alignment pads cost more DMA
+        bytes + matmul rows than the meta gather saves -- round 5.)
       meta: [NG, 2H] i32 -- the walk's per-anchor metadata row, PRE-packed
         (ids, then bitcast f32 dequantized-norms; see :func:`_pack_meta`).
-        Packed once at assembly: packing per query call materialized an
-        [NG, 2H] i32 array per dispatch (~0.5 ms at 262k, ~2 ms at 1M).
+        Packed once at assembly; ONE lane-padded row gather per anchor.
       group_of: [N] i32 -- node id -> its group (the fetch address map).
       members: [NG, G] i32 -- group -> member node ids (-1 pad; validation +
         introspection).
@@ -99,7 +102,7 @@ class FusedIndex(NamedTuple):
     """
 
     nbr_ids: jax.Array
-    nbr_codes: jax.Array
+    blocks: jax.Array
     meta: jax.Array
     group_of: jax.Array
     members: jax.Array
@@ -124,16 +127,22 @@ class FusedIndex(NamedTuple):
         """Candidate ids delivered by one block fetch."""
         return self.nbr_ids.shape[1]
 
+    @property
+    def bits(self) -> int:
+        """Code width (8 = one neighbor per block row, 4 = two packed)."""
+        return 8 if self.blocks.shape[1] == self.nbr_ids.shape[1] else 4
+
 
 def fit_affine_u8(
-    base: np.ndarray, clip_quantile: float = 1e-4
+    base: np.ndarray, clip_quantile: float = 1e-4, levels: int = 255
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-dimension affine uint8 quantizer fitted on the base.
+    """Per-dimension affine quantizer fitted on the base (``levels``=255 for
+    uint8 codes, 15 for int4).
 
     The range is clipped at the ``clip_quantile`` tails instead of raw
     min/max: on heavy-tailed data a single outlier dimension would otherwise
     inflate the quantization step for every point (values outside the clipped
-    range saturate at 0/255, which costs only those few points accuracy).
+    range saturate at 0/levels, which costs only those few points accuracy).
     """
     if clip_quantile > 0.0 and base.shape[0] > 1000:
         lo = np.quantile(base, clip_quantile, axis=0).astype(np.float32)
@@ -141,23 +150,34 @@ def fit_affine_u8(
     else:
         lo = base.min(axis=0).astype(np.float32)
         hi = base.max(axis=0).astype(np.float32)
-    scale = np.maximum(hi - lo, 1e-12).astype(np.float32) / 255.0
+    scale = np.maximum(hi - lo, 1e-12).astype(np.float32) / float(levels)
     return scale, lo
 
 
-@functools.partial(jax.jit, donate_argnums=())
-def _encode_u8(base_f32, scale, zero):
+@functools.partial(jax.jit, static_argnames=("levels",), donate_argnums=())
+def _encode_u8(base_f32, scale, zero, levels: int = 255):
     c = jnp.round((base_f32 - zero[None, :]) / scale[None, :])
-    return jnp.clip(c, 0.0, 255.0).astype(jnp.uint8)
+    return jnp.clip(c, 0.0, float(levels)).astype(jnp.uint8)
 
 
-@jax.jit
-def _gather_codes(codes, sq_hat, nbr0):
-    """Build the inline adjacency tables on device."""
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _assemble_blocks(codes, sq_hat, nbr0, bits: int = 8):
+    """Build the inline adjacency tables on device: ([NG, CR, D] u8 code
+    blocks, [NG, 2H] i32 packed meta rows).
+
+    ``bits=4`` packs TWO neighbors per code row (low nibble = the first of
+    the pair) -- CR = Kc/2, halving the block bytes. The fetch kernel's dot
+    columns then come out [all-low | all-high], so the meta ids/norms are
+    packed in that same even-columns-then-odd order; downstream only ever
+    pairs id[j] with dot[j], so the order is free to choose."""
     safe = jnp.clip(nbr0, 0, None)
-    nbr_codes = codes[safe]  # [N, K, D] u8
+    nbr_codes = codes[safe]  # [NG, Kc, D] u8
     nbr_sq = jnp.where(nbr0 >= 0, sq_hat[safe], jnp.inf)
-    return nbr_codes, nbr_sq
+    if bits == 4:
+        nbr_codes = nbr_codes[:, 0::2, :] | (nbr_codes[:, 1::2, :] << 4)
+        nbr0 = jnp.concatenate([nbr0[:, 0::2], nbr0[:, 1::2]], axis=1)
+        nbr_sq = jnp.concatenate([nbr_sq[:, 0::2], nbr_sq[:, 1::2]], axis=1)
+    return nbr_codes, _pack_meta(nbr0, nbr_sq)
 
 
 def match_groups(nbr_ids: np.ndarray, group: int) -> np.ndarray:
@@ -253,6 +273,7 @@ class FusedIndexMeta(NamedTuple):
     scale: np.ndarray  # [D] f32
     zero: np.ndarray  # [D] f32
     graph_fp: np.ndarray  # [32] u8 blake2b of neighbors[0]
+    bits: np.ndarray  # [1] i32 code width (8 = uint8, 4 = packed int4)
 
 
 def graph_fingerprint(graph) -> np.ndarray:
@@ -270,20 +291,23 @@ def build_fused_index(
     cfg: GraphConfig,
     *,
     group: int = 1,
+    bits: int = 8,
 ) -> FusedIndex:
     """Derive the quantized-adjacency index from a built shard graph.
 
     For uint8 bases the codes are the bytes themselves (scale=1, zero=0),
     matching the reference's native SIFT1B uint8 mode (BaseT=uint8,
     lib.h:23-75). ``group`` controls the paired-block layout (see
-    FusedIndex; group=1 restores one block per node)."""
+    FusedIndex; group=1 restores one block per node). ``bits=4`` stores
+    packed int4 codes: half the block bytes and HBM footprint (the walk
+    metric coarsens; the exact f32 re-rank is unchanged)."""
     if group <= 1:
         # trivial matching -- skip the layer-0 adjacency D2H entirely
         N = graph.neighbors[0].shape[0]
         members_np = np.arange(N, dtype=np.int32)[:, None]
     else:
         members_np = match_groups(np.asarray(graph.neighbors[0]), group)
-    return assemble_fused_index(base, graph, members=members_np)
+    return assemble_fused_index(base, graph, members=members_np, bits=bits)
 
 
 def assemble_fused_index(
@@ -293,6 +317,7 @@ def assemble_fused_index(
     members: np.ndarray,
     scale: np.ndarray | None = None,
     zero: np.ndarray | None = None,
+    bits: int = 8,
 ) -> FusedIndex:
     """Assemble the device-resident index from a group matching (and
     optionally a stored quantizer). Deterministic given (base, graph,
@@ -303,18 +328,21 @@ def assemble_fused_index(
     never pulled host-side: a device-resident base stays on device, so
     reconstructing the GB-scale code tables costs one gather, not a
     relay D2H+H2D round trip of the whole base."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits={bits} (4 or 8)")
+    levels = 255 if bits == 8 else 15
     if scale is None or zero is None:
-        if np.dtype(base.dtype) == np.uint8:
+        if np.dtype(base.dtype) == np.uint8 and bits == 8:
             D = base.shape[1]
             scale = np.ones((D,), np.float32)
             zero = np.zeros((D,), np.float32)
         else:
             # the quantile fit runs on host -- the one path that needs bytes
-            scale, zero = fit_affine_u8(np.asarray(base))
+            scale, zero = fit_affine_u8(np.asarray(base), levels=levels)
     scale_j = jnp.asarray(scale)
     zero_j = jnp.asarray(zero)
     base_f32 = jnp.asarray(base).astype(jnp.float32)
-    codes = _encode_u8(base_f32, scale_j, zero_j)
+    codes = _encode_u8(base_f32, scale_j, zero_j, levels=levels)
     # exact squared norms of the DEQUANTIZED points: the walk's metric
     x_hat_sq = squared_norms(
         codes.astype(jnp.float32) * scale_j[None, :] + zero_j[None, :]
@@ -335,14 +363,16 @@ def assemble_fused_index(
     grp_nbrs = jnp.where(
         (members != -1)[:, :, None], nbr0[safe_members], -1
     ).reshape(NG, G * K)
-    nbr_codes, nbr_sq = _gather_codes(codes, x_hat_sq, grp_nbrs)
+    if bits == 4 and (G * K) % 2:
+        raise ValueError("bits=4 requires an even candidate count per block")
 
     rep_ids = graph.translation[1]
     rep_vecs = base_f32[rep_ids]
+    blocks, meta = _assemble_blocks(codes, x_hat_sq, grp_nbrs, bits=bits)
     return FusedIndex(
         nbr_ids=grp_nbrs,
-        nbr_codes=nbr_codes,
-        meta=_pack_meta(grp_nbrs, nbr_sq),
+        blocks=blocks,
+        meta=meta,
         group_of=jnp.asarray(group_of_np),
         members=members,
         scale=scale_j,
@@ -361,7 +391,7 @@ class AdjacencyTables(NamedTuple):
     through ``cand_per_fetch``/``group``)."""
 
     nbr_ids: jax.Array  # [N, K] i32
-    nbr_codes: jax.Array  # [N, K, D] u8
+    blocks: jax.Array  # [N, K, D] u8 inline neighbor codes
     meta: jax.Array  # [N, 2H] i32 pre-packed walk metadata (_pack_meta)
     scale: jax.Array  # [D] f32
     zero: jax.Array  # [D] f32
@@ -382,11 +412,15 @@ class AdjacencyTables(NamedTuple):
 def make_adjacency(codes, x_hat_sq, nbr0, scale, zero) -> AdjacencyTables:
     """Inline the current layer-0 adjacency (one device gather): the build's
     per-pass equivalent of build_fused_index."""
-    nbr_codes, nbr_sq = _gather_codes(codes, x_hat_sq, nbr0)
+    blocks, meta = _assemble_blocks(codes, x_hat_sq, nbr0)
     return AdjacencyTables(
-        nbr_ids=nbr0, nbr_codes=nbr_codes, meta=_pack_meta(nbr0, nbr_sq),
-        scale=scale, zero=zero,
+        nbr_ids=nbr0, blocks=blocks, meta=meta, scale=scale, zero=zero,
     )
+
+
+def _meta_half(Kc: int) -> int:
+    """H: lane offset of the norms half inside a packed meta row."""
+    return max(64, -(-Kc // 64) * 64)
 
 
 def _pack_meta(nbr_ids: jax.Array, nbr_sq: jax.Array) -> jax.Array:
@@ -398,11 +432,10 @@ def _pack_meta(nbr_ids: jax.Array, nbr_sq: jax.Array) -> jax.Array:
     ~50x below the 512 B-row gather rate (the same pathology documented at
     build/sym.py:_pad_rows_to_lanes); packing ids+norms into one >=128-lane
     row makes it a single aligned >=512 B fetch. Packed ONCE at index
-    assembly (FusedIndex.meta / AdjacencyTables.meta): per-call packing
-    materialized the full [NG, 2H] table every dispatch.
+    assembly.
     """
     NG, Kc = nbr_ids.shape
-    H = max(64, -(-Kc // 64) * 64)
+    H = _meta_half(Kc)
     ids = jnp.pad(nbr_ids, ((0, 0), (0, H - Kc)), constant_values=EMPTY_ID)
     sqb = jnp.pad(
         jax.lax.bitcast_convert_type(nbr_sq, jnp.int32), ((0, 0), (0, H - Kc))
@@ -410,7 +443,7 @@ def _pack_meta(nbr_ids: jax.Array, nbr_sq: jax.Array) -> jax.Array:
     return jnp.concatenate([ids, sqb], axis=-1)
 
 
-def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, meta, measure,
+def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure,
                 use_pallas):
     """Distances from each row's query to its anchors' inline neighbors.
 
@@ -438,7 +471,8 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, meta, measure,
         blocks = anchors
     safe_b = jnp.clip(blocks, 0, None)
     live = (blocks >= 0)[:, :, None]
-    H = meta.shape[1] // 2
+    H = _meta_half(Kc)
+    meta = index.meta
     rows = meta[safe_b]  # [B, P, 2H] -- ONE aligned row gather per anchor
     ids = jnp.where(live, rows[..., :Kc], EMPTY_ID).reshape(B, P * Kc)
     sq = jax.lax.bitcast_convert_type(rows[..., H : H + Kc], jnp.float32)
@@ -446,9 +480,10 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, meta, measure,
 
     # dot(q, x_hat) = (q * scale) . codes + q . zero
     qs = q_vecs * index.scale[None, :]
+    nibbles = index.blocks.shape[1] != Kc  # int4: two neighbors per row
     dot_fn = adjacency_dot if use_pallas else adjacency_dot_xla
-    dot = dot_fn(qs, blocks, index.nbr_codes).reshape(B, P * Kc)
-    dot = dot + (q_vecs @ index.zero)[:, None]
+    dot = dot_fn(qs, blocks, index.blocks, nibbles=nibbles)
+    dot = dot.reshape(B, P * Kc) + (q_vecs @ index.zero)[:, None]
 
     if measure == DistanceMeasure.Euclidean:
         d = jnp.maximum(q_sq[:, None] + sq - 2.0 * dot, 0.0)
@@ -462,7 +497,7 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, meta, measure,
     return ids, d
 
 
-def _fused_step(st, q_vecs, q_sq, index, meta, measure, *, k_best, P, cap,
+def _fused_step(st, q_vecs, q_sq, index, measure, *, k_best, P, cap,
                 use_pallas):
     """One pop->fetch->filter->dedup->insert step of the quantized-adjacency
     walk (shared by the query engine and the construction merge).
@@ -475,8 +510,7 @@ def _fused_step(st, q_vecs, q_sq, index, meta, measure, *, k_best, P, cap,
     sort pipeline is already near VPU-bound.)
 """
     anchors, active, st = beam_pop(st, P, k_best)
-    ids, d = _code_dists(q_vecs, q_sq, anchors, index, meta, measure,
-                         use_pallas)
+    ids, d = _code_dists(q_vecs, q_sq, anchors, index, measure, use_pallas)
     crit = st.criteria(k_best)
     d = jnp.where((ids != EMPTY_ID) & (d < crit[:, None]), d, EMPTY_DIST)
     ids = jnp.where(jnp.isfinite(d), ids, EMPTY_ID)
@@ -521,7 +555,6 @@ def fused_best_first(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     steps = -(-max_iterations // P)
-    meta = index.meta
 
     def cond(carry):
         st, it, alive = carry
@@ -530,7 +563,7 @@ def fused_best_first(
     def body(carry):
         st, it, _ = carry
         st, active = _fused_step(
-            st, q_vecs, q_sq, index, meta, measure,
+            st, q_vecs, q_sq, index, measure,
             k_best=k_best, P=P, cap=cap, use_pallas=use_pallas,
         )
         return st, it + 1, jnp.any(active)
@@ -567,9 +600,8 @@ def fused_best_first_compacted(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     steps = -(-max_iterations // P)
-    meta = index.meta
     return _best_first_phases(
-        state, q_vecs, q_sq, index, meta, measure,
+        state, q_vecs, q_sq, index, measure,
         steps=steps, k_best=k_best, P=P, cap=cap, use_pallas=use_pallas,
         k_out=k_best, compact_levels=compact_levels, want_d=True,
     )
@@ -580,7 +612,6 @@ def _best_first_phases(
     q_vecs,
     q_sq,
     index,
-    meta,
     measure: DistanceMeasure,
     *,
     steps: int,
@@ -628,7 +659,7 @@ def _best_first_phases(
             if xi_update is not None:
                 st_ = st_._replace(xi=xi_update(st_))
             st_, active = _fused_step(
-                st_, q, qs, index, meta, measure,
+                st_, q, qs, index, measure,
                 k_best=k_best, P=P, cap=cap, use_pallas=use_pallas,
             )
             return st_, it_ + 1, active
@@ -730,14 +761,13 @@ def _fused_query_tile(
     state = beam_insert(state, seed_ids, seed_d, criteria=no_crit)
 
     steps = -(-max_iterations // P)
-    meta = index.meta
 
     # converged-row compaction (see _best_first_phases): results are
     # bit-identical to the single-phase sweep, stragglers step in smaller
     # tiles. Only the top-R candidate ids are needed for the re-rank.
     R = min(rerank, width)
     result_i, _ = _best_first_phases(
-        state, q_vecs, q_sq, index, meta, measure,
+        state, q_vecs, q_sq, index, measure,
         steps=steps, k_best=k_query, P=P, cap=cap, use_pallas=use_pallas,
         k_out=R, compact_levels=compact_levels, xi_update=dyn,
     )
@@ -958,6 +988,7 @@ def meta_of(index, graph=None) -> FusedIndexMeta:
             if graph is not None
             else np.zeros((32,), np.uint8)
         ),
+        bits=np.asarray([index.bits], np.int32),
     )
 
 
@@ -992,6 +1023,8 @@ def load_fused_index(path: str | Path) -> FusedIndexMeta:
         for k in FusedIndexMeta._fields:
             if k == "graph_fp" and k not in f:
                 vals[k] = np.zeros((32,), np.uint8)
+            elif k == "bits" and k not in f:
+                vals[k] = np.asarray([8], np.int32)  # pre-int4 sidecars
             else:
                 vals[k] = np.asarray(f[k])
         return FusedIndexMeta(**vals)

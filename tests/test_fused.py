@@ -47,7 +47,7 @@ def test_quantizer_error_bound():
 
 
 def test_index_codes_match_graph(built):
-    """nbr_codes[i, j] is the quantized vector of graph neighbor j of i."""
+    """blocks[i, j] is the quantized vector of graph neighbor j of i."""
     base, _, cfg, graph, index = built
     nbr0 = np.asarray(graph.neighbors[0])
     codes = np.clip(
@@ -55,7 +55,7 @@ def test_index_codes_match_graph(built):
         0,
         255,
     ).astype(np.uint8)
-    nc = np.asarray(index.nbr_codes)
+    nc = np.asarray(index.blocks)[:, : cfg.KBuild]
     for i in (0, 1234, len(base) - 1):
         for j in (0, cfg.KBuild - 1):
             n = nbr0[i, j]
@@ -355,3 +355,51 @@ def test_sort_bf16_recall_close(built):
         if ids1[0, j] >= 0:
             exact = float(np.sum((query[0] - base[ids1[0, j]]) ** 2))
             assert abs(exact - d1[0, j]) < 1e-2 * max(1.0, exact)
+
+
+def test_int4_index_recall_close(built):
+    """bits=4 packs two neighbors per code row (half the block bytes,
+    VERDICT r4 #5). The walk metric coarsens but the exact f32 re-rank is
+    unchanged, so recall must stay close to the u8 index."""
+    base, query, cfg, graph, index = built
+    idx4 = build_fused_index(jnp.asarray(base), graph, cfg, bits=4)
+    assert idx4.bits == 4 and index.bits == 8
+    # half the code rows (plus the shared 8-row-aligned meta tail)
+    assert idx4.blocks.shape[1] < index.blocks.shape[1]
+
+    from ggnn_tpu.ops.bruteforce import bruteforce_knn
+
+    gt_ids, _ = bruteforce_knn(jnp.asarray(base), jnp.asarray(query), 10)
+    gt = np.asarray(gt_ids)
+
+    def c1(idx):
+        ids, _ = fused_query(
+            jnp.asarray(query), idx, jnp.asarray(base), 10, 0.64, 100
+        )
+        ids = np.asarray(ids)
+        assert np.all(ids >= 0)
+        return np.mean([gt[i, 0] in ids[i] for i in range(len(gt))])
+
+    c8, c4 = c1(index), c1(idx4)
+    assert c8 >= 0.9
+    assert c4 >= c8 - 0.05, (c4, c8)
+
+
+def test_int4_sidecar_roundtrip(tmp_path, built):
+    """The meta sidecar records the code width: reloading an int4 index
+    reassembles int4 blocks (and rejects nothing silently)."""
+    base, _, cfg, graph, index = built
+    idx4 = build_fused_index(jnp.asarray(base), graph, cfg, bits=4)
+    path = tmp_path / "part_0.fused.npz"
+    save_fused_index(path, idx4, graph)
+    meta = load_fused_index(path)
+    assert int(meta.bits[0]) == 4
+    from ggnn_tpu.query.fused import assemble_fused_index
+
+    re4 = assemble_fused_index(
+        jnp.asarray(base), graph, members=meta.members,
+        scale=meta.scale, zero=meta.zero, bits=int(meta.bits[0]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(re4.blocks), np.asarray(idx4.blocks)
+    )

@@ -29,6 +29,38 @@ def test_adjacency_dot_matches_xla(P):
     )
 
 
+@pytest.mark.parametrize("P", [4, 8])
+def test_adjacency_dot_nibbles_matches_xla(P):
+    """int4 path: two neighbors per code row, dot columns [low | high]."""
+    rng = np.random.default_rng(11)
+    B, K, D, N = 16, 24, 128, 300  # K = code ROWS -> 2K candidates
+    qs = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    anchors = jnp.asarray(rng.integers(-1, N, size=(B, P)).astype(np.int32))
+    c4 = rng.integers(0, 16, size=(N, 2 * K, D)).astype(np.uint8)
+    packed = jnp.asarray(c4[:, 0::2, :] | (c4[:, 1::2, :] << 4))
+    ref = np.asarray(adjacency_dot_xla(qs, anchors, packed, nibbles=True))
+    out = np.asarray(
+        adjacency_dot(qs, anchors, packed, nibbles=True, interpret=True)
+    )
+    assert out.shape == (B, P, 2 * K)
+    valid = (np.asarray(anchors) >= 0)[:, :, None]
+    np.testing.assert_allclose(
+        np.where(valid, out, 0.0), np.where(valid, ref, 0.0), rtol=1e-5, atol=1e-2
+    )
+    # the low-nibble half must equal the even original columns' exact dots
+    lo = np.einsum(
+        "bd,bpkd->bpk",
+        np.asarray(qs),
+        c4[np.clip(np.asarray(anchors), 0, None)][:, :, 0::2, :].astype(
+            np.float32
+        ),
+    )
+    np.testing.assert_allclose(
+        np.where(valid, out[:, :, :K], 0.0), np.where(valid, lo, 0.0),
+        rtol=1e-2, atol=2.0,
+    )
+
+
 def test_adjacency_dot_unaligned_falls_back():
     # D not lane-aligned or B % qt != 0 must route to the XLA path
     rng = np.random.default_rng(3)
