@@ -933,8 +933,14 @@ def sym_pass(
 
         t0 = time.perf_counter()
 
-    # phase i: mutual pre-filter (stays on device in grouped mode)
-    need_dev = _rows_needing_walk(nbrs, KL=KL)
+    # phase i: mutual pre-filter (stays on device in grouped mode).
+    # "sort" resolves the mutual check with one 3-key sort over the edge
+    # set instead of a 512 B row gather per pair (bit-identical output,
+    # suite-tested); "gather" is the round-4 shape.
+    if os.environ.get("GGNN_SYM_MUTUAL", "gather") == "sort":
+        need_dev = _rows_needing_walk_sort(nbrs, KL=KL)
+    else:
+        need_dev = _rows_needing_walk(nbrs, KL=KL)
     rows = np.zeros((0,), np.int32)
     if mode == "walk" or sym_filter != "grouped":
         need = np.asarray(need_dev).reshape(-1)

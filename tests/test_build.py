@@ -191,3 +191,18 @@ def test_quantizer_guard_falls_back_on_heavy_tails():
     ctx2.nn1_stats = jnp.asarray([0.5, 1.0], jnp.float32)
     ctx2._ensure_codes()
     assert not ctx2._quant_usable()  # dequantization error >> 1-NN distance
+
+
+def test_sort_mutual_filter_bit_identical():
+    """The sort-based phase-i mutual filter makes the same decisions as the
+    gather formulation on arbitrary tables (round-5 sym lever)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ggnn_tpu.build.sym import _rows_needing_walk, _rows_needing_walk_sort
+
+    rng = np.random.default_rng(0)
+    for Nl, K, KL in [(500, 12, 8), (2048, 24, 12), (97, 6, 4)]:
+        nbrs = rng.integers(-1, Nl, size=(Nl, K)).astype(np.int32)
+        a = np.asarray(_rows_needing_walk(jnp.asarray(nbrs), KL=KL))
+        b = np.asarray(_rows_needing_walk_sort(jnp.asarray(nbrs), KL=KL))
+        np.testing.assert_array_equal(a, b)

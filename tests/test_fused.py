@@ -403,3 +403,27 @@ def test_int4_sidecar_roundtrip(tmp_path, built):
     np.testing.assert_array_equal(
         np.asarray(re4.blocks), np.asarray(idx4.blocks)
     )
+
+
+def test_fused_query_k96_smoke():
+    """k_build=96 (the 12 KB-block recall-ceiling option, BASELINE.md
+    round-4/5 adjudication) builds and answers through the fused engine."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    N, D = 2048, 64
+    base = _manifold(rng, N, D)
+    query = _manifold(rng, 64, D)
+    cfg = GraphConfig.create(N=N, D=D, KBuild=96)
+    graph, _ = build_graph(jnp.asarray(base), cfg, 0.5, refinement_iterations=0)
+    index = build_fused_index(jnp.asarray(base), graph, cfg)
+    assert index.cand_per_fetch == 96
+    ids, dists = fused_query(jnp.asarray(query), index, jnp.asarray(base),
+                             10, 0.64, 48)
+    ids = np.asarray(ids)
+    assert ids.shape == (64, 10) and np.all(ids >= 0)
+    from ggnn_tpu.ops.bruteforce import bruteforce_knn
+
+    gt = np.asarray(bruteforce_knn(jnp.asarray(base), jnp.asarray(query), 1)[0])
+    c1 = np.mean([gt[i, 0] in ids[i] for i in range(len(gt))])
+    assert c1 >= 0.9, c1
