@@ -55,6 +55,21 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="query over a wide range of tau_query values",
     )
+    p.add_argument(
+        "--engine",
+        default="fused",
+        choices=["fused", "row"],
+        help="query engine: fused = quantized-adjacency (fastest), "
+        "row = f32 row gathers (reference memory envelope)",
+    )
+    p.add_argument(
+        "--fused_group", type=int, default=1,
+        help="fused index block grouping (2 pairs graph-nearest nodes)",
+    )
+    p.add_argument(
+        "--fused_bits", type=int, default=8, choices=[4, 8],
+        help="fused index code width (4 halves the inline-code HBM)",
+    )
     p.add_argument("-v", "--verbose", type=int, default=0)
     return p
 
@@ -125,10 +140,14 @@ def main(argv=None) -> int:
 
     evaluator = Evaluator(base, query, gt=gt, k_query=args.k_query, measure=measure)
 
+    if args.engine == "fused":
+        g.build_fused_index(group=args.fused_group, bits=args.fused_bits)
+
     def run_query(tau_query: float, max_iterations: int | None = None):
         it = max_iterations or args.max_iterations
         t0 = time.perf_counter()
-        ids, _ = g.query(query, args.k_query, tau_query, it, measure)
+        ids, _ = g.query(query, args.k_query, tau_query, it, measure,
+                         engine=args.engine)
         dt = time.perf_counter() - t0
         print(f"-- tau_query {tau_query:.2f}, max_iterations {it}")
         print(f"   {query.shape[0] / dt:,.0f} QPS ({dt * 1e6 / query.shape[0]:.1f} us/query)")
