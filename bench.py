@@ -280,10 +280,10 @@ def main():
     # rerank=16 (vs the default 32) and approx_min_k seeding measured
     # recall-identical at k_query=10 and +25% QPS together (scratch/
     # fixed_cost_ab2.py: 144.0k vs 114.9k at the 262k headline point)
-    # width=32 / cap=32 measured bit-identical recall and ~3% faster than
-    # the width=64/cap=64 defaults at the 262k headline point (r5 knob
-    # grid: every one of cap48/cap32/w32/w32cap32 returned c@1=0.9163)
-    qkw = {"engine": "fused", "num_seeds": 16,
+    # width=32 / cap=32 / num_seeds=8 each measured bit-identical recall
+    # and a few % faster at BOTH 262k and 1M headline points (r5 knob grid
+    # + 1M probe: c@1 unchanged to 4 decimals at it=28 and it=32)
+    qkw = {"engine": "fused", "num_seeds": 8,
            "rerank": max(16, k_query + 6), "width": 32, "cap": 32}
     # (tau, pop budget, pops_per_iter), cheapest-first. P=5 merges the beam
     # after every 5 pops: at equal budget that buys ~2.5 recall points over
@@ -293,7 +293,7 @@ def main():
     sweep = [
         (0.64, 20, 4), (0.64, 24, 4),
         (0.64, 28, 4), (0.64, 30, 5),
-        (0.64, 32, 4), (0.64, 35, 5),
+        (0.64, 30, 3), (0.64, 32, 4), (0.64, 35, 5),
         (0.64, 40, 5), (0.64, 48, 8),
         (0.41, 64, 8), (0.51, 64, 8),
         (0.41, 100, 8), (0.51, 100, 8), (0.64, 100, 8),
