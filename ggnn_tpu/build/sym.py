@@ -536,7 +536,43 @@ def _bulk_filter_grouped(
     return connected, jnp.where(pad, jnp.inf, dq0), n_out, pref[..., :KF]
 
 
-@functools.partial(jax.jit, static_argnames=("KF",), donate_argnums=(3, 4))
+@jax.jit
+def _order_needs(prio, connected, n_valid):
+    """Priority order + live-request count for :func:`_bulk_requests`.
+
+    ``n_valid`` is a *dynamic* scalar on purpose: baking the live row count
+    into the program as a constant would recompile it every pass (each
+    remote compile costs 30-250 s on the relay; the compute is <1 s)."""
+    M = prio.shape[0]
+    need = ~connected & (jnp.arange(M) < n_valid)
+    order = jnp.argsort(jnp.where(need, prio, jnp.inf))
+    return order, jnp.sum(need.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("KF",), donate_argnums=(2, 3))
+def _insert_requests_ordered(pref_o, src_o, sym_buffer, sym_atomic, cnt,
+                             *, KF: int):
+    """Run the capacity scatter on priority-ordered, COMPACTED rows.
+
+    The first ``cnt`` rows are exactly the live requests (finite
+    priorities sort before the +inf non-needs, and real pair distances are
+    always finite); the rest of the pow2-padded tile is masked."""
+    Lw = pref_o.shape[0]
+    need_o = jnp.arange(Lw) < cnt
+    sym_buffer, sym_atomic, assigned = _insert_requests(
+        pref_o, src_o, need_o, sym_buffer, sym_atomic, KF=KF
+    )
+    return sym_buffer, sym_atomic, assigned & need_o
+
+
+@jax.jit
+def _scatter_accept(order, sel, acc):
+    """Expand the compacted accept mask back to full row order."""
+    return (
+        jnp.zeros((order.shape[0],), jnp.bool_).at[sel].set(acc)
+    )
+
+
 def _bulk_requests(
     pref,  # [M, KF] per-row host preference lists (-1 = empty)
     src,  # [M] requesting nodes n
@@ -557,21 +593,23 @@ def _bulk_requests(
     updated request state plus the per-row accept mask (rejects walk in
     phase iii).
 
-    ``n_valid`` is a *dynamic* scalar on purpose: baking the live row count
-    into the program as a constant would recompile it every pass (each
-    remote compile costs 30-250 s on the relay; the compute is ~0.4 s)."""
+    The KF-iteration capacity scatter runs on a COMPACTED tile: only
+    ~15-30% of rows are live requests in steady state (most pairs are
+    connected), yet the loop's ~25 argsorts and ~50 scatters used to run
+    at the full padded width -- 29 -> 8 s/pass at 262k came from warm
+    caching alone, and compaction cuts the remaining loop width ~4-8x.
+    Bit-identical: the priority argsort already orders live requests
+    first, so slicing to a pow2 ladder >= count drops only masked rows
+    (suite-tested determinism)."""
     M = pref.shape[0]
-    need = ~connected & (jnp.arange(M) < n_valid)
-    order = jnp.argsort(jnp.where(need, prio, jnp.inf))
-    sym_buffer, sym_atomic, assigned = _insert_requests(
-        pref[order],
-        src[order],
-        need[order],
-        sym_buffer,
-        sym_atomic,
-        KF=KF,
+    order, cnt_dev = _order_needs(prio, connected, n_valid)
+    cnt = int(cnt_dev)  # one scalar D2H picks the pow2 ladder width
+    Lw = min(M, max(4096, 1 << (max(1, cnt) - 1).bit_length()))
+    sel = order[:Lw]
+    sym_buffer, sym_atomic, acc = _insert_requests_ordered(
+        pref[sel], src[sel], sym_buffer, sym_atomic, cnt_dev, KF=KF
     )
-    accept = jnp.zeros((M,), jnp.bool_).at[order].set(assigned & need[order])
+    accept = _scatter_accept(order, sel, acc)
     return sym_buffer, sym_atomic, accept
 
 

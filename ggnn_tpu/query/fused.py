@@ -481,8 +481,11 @@ def _code_dists(q_vecs, q_sq, anchors, index: FusedIndex, measure,
     # dot(q, x_hat) = (q * scale) . codes + q . zero
     qs = q_vecs * index.scale[None, :]
     nibbles = index.blocks.shape[1] != Kc  # int4: two neighbors per row
-    dot_fn = adjacency_dot if use_pallas else adjacency_dot_xla
-    dot = dot_fn(qs, blocks, index.blocks, nibbles=nibbles)
+    if use_pallas:
+        dot = adjacency_dot(qs, blocks, index.blocks, nibbles=nibbles,
+                            qt=8 if use_pallas is True else use_pallas)
+    else:
+        dot = adjacency_dot_xla(qs, blocks, index.blocks, nibbles=nibbles)
     dot = dot.reshape(B, P * Kc) + (q_vecs @ index.zero)[:, None]
 
     if measure == DistanceMeasure.Euclidean:
@@ -914,7 +917,10 @@ def fused_query(
     num_seeds = min(num_seeds, int(index.rep_ids.shape[0]))
     if use_pallas is None:
         # the Pallas fetch+dot kernel needs a real TPU (CPU tests and the
-        # virtual multi-chip mesh lower it in interpret mode only)
+        # virtual multi-chip mesh lower it in interpret mode only).
+        # False = XLA gather path; True = Pallas at qt=8 (queries per grid
+        # step, i.e. qt*P DMA blocks in flight per buffer slot); an int
+        # selects that qt directly (pipeline-depth experiments).
         use_pallas = jax.default_backend() not in ("cpu",)
     # chunk plan: pad the tail chunk only to the next power of two (>= 256),
     # not to the full chunk: 10k queries run as 8192 + 2048 instead of
