@@ -606,8 +606,16 @@ def _bulk_requests(
     cnt = int(cnt_dev)  # one scalar D2H picks the pow2 ladder width
     Lw = min(M, max(4096, 1 << (max(1, cnt) - 1).bit_length()))
     sel = order[:Lw]
+    pref_o = pref[sel]
+    src_o = src[sel]
+    # free the full-width inputs BEFORE the capacity-scatter program: at 1M
+    # the [M, KF] preference table alone is multi-GB and splitting the old
+    # single program into phases keeps it live across program boundaries
+    # (RESOURCE_EXHAUSTED observed) unless dropped here. Callers pass
+    # temporaries, so these dels release the device buffers.
+    del pref, src, prio, connected
     sym_buffer, sym_atomic, acc = _insert_requests_ordered(
-        pref[sel], src[sel], sym_buffer, sym_atomic, cnt_dev, KF=KF
+        pref_o, src_o, sym_buffer, sym_atomic, cnt_dev, KF=KF
     )
     accept = _scatter_accept(order, sel, acc)
     return sym_buffer, sym_atomic, accept
@@ -870,11 +878,18 @@ def _phase_ii_grouped(
         row_parts.append(jnp.full((pad_n,), -1, jnp.int32))
     connected = jnp.concatenate(conn_parts)
     n_flat = jnp.concatenate(n_parts)
+    # the [M, KF] preference table is the multi-GB tensor at 1M: hand it to
+    # _bulk_requests as the ONLY reference (list-pop) and drop the chunk
+    # parts (which hold the same bytes again) so the callee's del actually
+    # releases HBM before the capacity-scatter program runs
+    big = [jnp.concatenate(pref_parts)]
+    dq0_all = jnp.concatenate(dq0_parts)
+    del conn_parts, pref_parts, dq0_parts, n_parts
     M = int(connected.shape[0])
     sym_buffer, sym_atomic, accept = _bulk_requests(
-        jnp.concatenate(pref_parts),
+        big.pop(),
         n_flat,
-        jnp.concatenate(dq0_parts),
+        dq0_all,
         sym_buffer,
         sym_atomic,
         connected,
