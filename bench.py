@@ -100,11 +100,11 @@ def _run_config(g, evaluator, query_dev, nq, k_query, tau_query, iters, qkw,
     from ggnn_tpu.utils.timing import hard_sync
 
     reps = 5
-    # deeper DMA pipeline at small P: qt=32 keeps 128 blocks in flight
-    # (+1.4% measured, recall bit-identical); qt*P is capped ~224 by the
-    # 2 KB DMA-semaphore space, so P=8 points keep the qt=8 default
-    qkw = dict(qkw, pops_per_iter=pops_per_iter,
-               use_pallas=32 if pops_per_iter <= 5 else True)
+    # qt=32 (use_pallas=32: 128 DMA blocks in flight) measured +1.4% at
+    # P<=5 but would cost the driver run ~6 fresh 30-250 s remote compiles
+    # (the warm program set was built at the qt=8 default) -- kept at the
+    # default; flip to use_pallas=32 once its programs are cached
+    qkw = dict(qkw, pops_per_iter=pops_per_iter)
     g.set_return_results_on_device(True)
     try:
         for _ in range(2):
